@@ -1,0 +1,261 @@
+"""mAR-SCF: multi-scale autoregressive normalizing flow for images.
+
+Reference: marscf_main.py (FlowStep 35-113, FlowNet 116-175, MarScfFlow
+178-220). Forward step order: actnorm -> invconv(PLU) -> attention ->
+attention(permute) -> coupling -> [tuple-flip for MixLogCDF]; levels are
+squeeze -> K steps -> channel split, with the split-off half scored by the
+ConvLSTM channel-AR prior.
+
+Differences from the reference, by design (SURVEY.md §2.1 "known quirks"):
+  - invconv log-det uses the correct H*W pixel count (reference uses W*W);
+  - actnorm data-dependent init is an explicit eager `ddi` pass;
+  - sampling honors eps_std (the reference's ConvLSTM sampler ignores it).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.actnorm import ActNorm
+from ..ops.attention import InvertibleAttention
+from ..ops.basic import GaussianDiag, Squeeze, TupleFlip, split_channels
+from ..ops.coupling import AffineCoupling, Split2dGaussian
+from ..ops.invconv import InvConv1x1
+from ..ops.mixlogcdf import MixLogCDFCoupling
+from .prior import ChannelPriorMultiScale
+from . import register_model
+
+
+@dataclass(frozen=True)
+class MarScfConfig:
+    image_shape: Tuple[int, int, int] = (32, 32, 3)  # H, W, C
+    L: int = 3
+    K: int = 4
+    hidden_channels: int = 96  # the reference's --C
+    coupling: str = "mixlogcdf"  # "affine" | "mixlogcdf"
+    use_attention: bool = True
+    attn_heads: int = 3
+    # MixLogCDF network (marscf_main.py:40-41)
+    num_blocks: int = 10
+    num_components: int = 32
+    drop_prob: float = 0.2
+    # Prior
+    prior: str = "convlstm"  # "convlstm" | "gaussian"
+    prior_hidden: int = 32
+    prior_layers: int = 3
+    prior_dp_rate: float = 0.0
+    actnorm_scale: float = 1.0
+
+
+class FlowStep:
+    def __init__(self, cfg: MarScfConfig, channels: int):
+        self.cfg = cfg
+        self.actnorm = ActNorm(channels, cfg.actnorm_scale)
+        self.invconv = InvConv1x1(channels)
+        self.use_attention = cfg.use_attention
+        if cfg.use_attention:
+            self.attn1 = InvertibleAttention(channels, cfg.attn_heads)
+            self.attn2 = InvertibleAttention(channels, cfg.attn_heads)
+        if cfg.coupling == "mixlogcdf":
+            self.coupling = MixLogCDFCoupling(
+                channels, cfg.hidden_channels, num_blocks=cfg.num_blocks,
+                num_components=cfg.num_components, drop_prob=cfg.drop_prob)
+            self.tuple_flip = TupleFlip()
+        elif cfg.coupling == "affine":
+            self.coupling = AffineCoupling(channels, channels, cfg.hidden_channels)
+            self.tuple_flip = None
+        else:
+            raise ValueError(cfg.coupling)
+
+    def init(self, key):
+        ks = jax.random.split(key, 5)
+        p = {
+            "actnorm": self.actnorm.init(ks[0]),
+            "invconv": self.invconv.init(ks[1]),
+            "coupling": self.coupling.init(ks[2]),
+        }
+        if self.use_attention:
+            p["attn1"] = self.attn1.init(ks[3])
+            p["attn2"] = self.attn2.init(ks[4])
+        return p
+
+    def forward(self, params, x, logdet, *, rng=None, train=False):
+        x, logdet = self.actnorm.forward(params["actnorm"], x, logdet)
+        x, logdet = self.invconv.forward(params["invconv"], x, logdet)
+        if self.use_attention:
+            x, logdet = self.attn1.forward(params["attn1"], x, logdet)
+            x, logdet = self.attn2.forward(params["attn2"], x, logdet, permute=True)
+        x, logdet = self.coupling.forward(params["coupling"], x, logdet,
+                                          rng=rng, train=train)
+        if self.tuple_flip is not None:
+            x, logdet = self.tuple_flip.forward({}, x, logdet)
+        return x, logdet
+
+    def inverse(self, params, y, logdet, *, rng=None, train=False):
+        if self.tuple_flip is not None:
+            y, logdet = self.tuple_flip.inverse({}, y, logdet)
+        y, logdet = self.coupling.inverse(params["coupling"], y, logdet,
+                                          rng=rng, train=train)
+        if self.use_attention:
+            y, logdet = self.attn2.inverse(params["attn2"], y, logdet, permute=True)
+            y, logdet = self.attn1.inverse(params["attn1"], y, logdet)
+        y, logdet = self.invconv.inverse(params["invconv"], y, logdet)
+        y, logdet = self.actnorm.inverse(params["actnorm"], y, logdet)
+        return y, logdet
+
+    def ddi(self, params, x, logdet):
+        """Eager data-dependent-init pass mirroring forward()."""
+        p_an, x, logdet = self.actnorm.ddi(params["actnorm"], x, logdet)
+        params = dict(params, actnorm=p_an)
+        x, logdet = self.invconv.forward(params["invconv"], x, logdet)
+        if self.use_attention:
+            x, logdet = self.attn1.forward(params["attn1"], x, logdet)
+            x, logdet = self.attn2.forward(params["attn2"], x, logdet, permute=True)
+        if hasattr(self.coupling, "ddi"):
+            p_c, x, logdet = self.coupling.ddi(params["coupling"], x, logdet)
+            params = dict(params, coupling=p_c)
+        else:
+            x, logdet = self.coupling.forward(params["coupling"], x, logdet)
+        if self.tuple_flip is not None:
+            x, logdet = self.tuple_flip.forward({}, x, logdet)
+        return params, x, logdet
+
+
+@register_model("marscf")
+class MarScfFlow:
+    """Image density model in bits/dim; forward = encode, inverse = sample."""
+
+    def __init__(self, cfg: MarScfConfig):
+        self.cfg = cfg
+        h, w, c = cfg.image_shape
+        assert c in (1, 3)
+        self.squeeze = Squeeze(2)
+        self.levels = []  # per level: list of FlowStep
+        self.level_shapes = []  # (C, H, W) during that level's steps
+        for i in range(cfg.L):
+            c, h, w = c * 4, h // 2, w // 2
+            self.levels.append([FlowStep(cfg, c) for _ in range(cfg.K)])
+            self.level_shapes.append((c, h, w))
+            if i < cfg.L - 1:
+                c = c // 2
+        self.final_shape = (c, h, w)
+
+        if cfg.prior == "convlstm":
+            hh, ww, cc = cfg.image_shape
+            self.prior = ChannelPriorMultiScale(
+                cc, hh, ww, cfg.L, hidden_size=cfg.prior_hidden,
+                dp_rate=cfg.prior_dp_rate, num_layers=cfg.prior_layers)
+            self.split_priors = None
+        elif cfg.prior == "gaussian":
+            self.prior = None
+            self.split_priors = [Split2dGaussian(self.level_shapes[i][0])
+                                 for i in range(cfg.L - 1)]
+        else:
+            raise ValueError(cfg.prior)
+
+        h_img, w_img, c_img = cfg.image_shape
+        self.num_dims = h_img * w_img * c_img
+
+    # -- params --------------------------------------------------------------
+    def init(self, key):
+        n_steps = sum(len(steps) for steps in self.levels)
+        keys = jax.random.split(key, n_steps + 1 + self.cfg.L)
+        it = iter(keys)
+        params = {"levels": [{"steps": [s.init(next(it)) for s in steps]}
+                             for steps in self.levels]}
+        if self.prior is not None:
+            params["prior"] = self.prior.init(next(it))
+        else:
+            params["splits"] = [sp.init(next(it)) for sp in self.split_priors]
+        return params
+
+    # -- density -------------------------------------------------------------
+    def encode(self, params, z, logdet, *, rng=None, train=False):
+        """Runs the flow; adds prior log-probs. Returns final z and objective."""
+        rngs = (jax.random.split(rng, self.cfg.L * self.cfg.K + self.cfg.L)
+                if rng is not None else None)
+        ri = 0
+        for i, steps in enumerate(self.levels):
+            z, logdet = self.squeeze.forward({}, z, logdet)
+            for j, step in enumerate(steps):
+                r = rngs[ri] if rngs is not None else None
+                ri += 1
+                z, logdet = step.forward(params["levels"][i]["steps"][j], z,
+                                         logdet, rng=r, train=train)
+            if i < self.cfg.L - 1:
+                z1, z2 = split_channels(z)
+                if self.prior is not None:
+                    r = rngs[ri] if rngs is not None else None
+                    logdet = logdet + self.prior.log_likelihood(
+                        params["prior"], (z1, z2), i + 1, rng=r, train=train)
+                    z = z1
+                else:
+                    z, logdet = self.split_priors[i].forward(
+                        params["splits"][i], z, logdet)
+                ri += 1
+        if self.prior is not None:
+            r = rngs[ri] if rngs is not None else None
+            logdet = logdet + self.prior.log_likelihood(
+                params["prior"], z, self.cfg.L, rng=r, train=train)
+        else:
+            logdet = logdet + GaussianDiag.logp(None, None, z)
+        return z, logdet
+
+    def forward(self, params, x, *, rng, train=False):
+        """x in [-0.5, 0.5]. Returns (z, nll_bits_per_dim)."""
+        rng_deq, rng_flow = jax.random.split(rng)
+        z = x + jax.random.uniform(rng_deq, x.shape, x.dtype) * (1.0 / 256.0)
+        logdet = jnp.full((x.shape[0],), -math.log(256.0) * self.num_dims,
+                          dtype=jnp.float32)
+        z, objective = self.encode(params, z, logdet, rng=rng_flow, train=train)
+        nll = -objective / (math.log(2.0) * self.num_dims)
+        return z, nll
+
+    # -- sampling ------------------------------------------------------------
+    def sample(self, params, rng, batch: int, eps_std: float = 1.0):
+        cfg = self.cfg
+        n_rngs = 1 + cfg.L + cfg.L * cfg.K
+        rngs = list(jax.random.split(rng, n_rngs))
+        it = iter(rngs)
+
+        c, h, w = self.final_shape
+        if self.prior is not None:
+            z = self.prior.sample(params["prior"], next(it), cfg.L, batch=batch,
+                                  eps_std=eps_std)
+        else:
+            z = GaussianDiag.sample_eps(next(it), (batch, c, h, w), eps_std)
+
+        for i in reversed(range(cfg.L)):
+            if i < cfg.L - 1:
+                if self.prior is not None:
+                    z2 = self.prior.sample(params["prior"], next(it), i + 1, z1=z,
+                                           eps_std=eps_std)
+                    z = jnp.concatenate([z, z2], axis=1)
+                else:
+                    z, _ = self.split_priors[i].inverse(
+                        params["splits"][i], z, jnp.zeros((batch,)),
+                        rng=next(it), eps_std=eps_std)
+            for j in reversed(range(cfg.K)):
+                z, _ = self.levels[i][j].inverse(
+                    params["levels"][i]["steps"][j], z, jnp.zeros((batch,)))
+            z, _ = self.squeeze.inverse({}, z, jnp.zeros((batch,)))
+        return z
+
+    # -- data-dependent init ---------------------------------------------------
+    def ddi(self, params, x, rng):
+        """Initialize all actnorms from a prototype batch (run eagerly, once)."""
+        z = x + jax.random.uniform(rng, x.shape, x.dtype) * (1.0 / 256.0)
+        logdet = jnp.zeros((x.shape[0],), jnp.float32)
+        params = jax.tree.map(lambda a: a, params)  # shallow-copy containers
+        for i, steps in enumerate(self.levels):
+            z, logdet = self.squeeze.forward({}, z, logdet)
+            for j, step in enumerate(steps):
+                new_p, z, logdet = step.ddi(params["levels"][i]["steps"][j], z, logdet)
+                params["levels"][i]["steps"][j] = new_p
+            if i < self.cfg.L - 1:
+                z, _ = split_channels(z)
+        return params

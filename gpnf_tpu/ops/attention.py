@@ -1,0 +1,172 @@
+"""Invertible checkerboard patch attention (exact log-det, exact inverse).
+
+Reference: flow_modules/transformer.py (`Transformer_attn`, 31-326) and its
+head-count/scoring ablations (transformer_x3/x5/x7/_8, SURVEY.md §2.1).
+
+Math (derived from the reference, re-expressed in block form):
+  - The input is cut into N = (H/p)*(W/p) patches of size p = W//2, flattened
+    to D = C*p*p dims; element mask M[i,d] = 1 iff (i+d) even ("permute"
+    flips it).
+  - Queries/keys are 1x1 convs of the *masked* input; per-patch scores
+    S = sum_h q_h k_h^T / scale; A = sigmoid(S + offset2) + offset3.
+  - Only same-parity patch pairs interact. With E/O the even/odd patch index
+    sets, m1 = A[E,E] + offset*I and m2 = A[O,O] + offset*I act as mixing
+    matrices: for every feature dim d of odd parity, y[E,d] = m1 @ x[E,d];
+    for every even-parity d, y[O,d] = m2 @ x[O,d]; masked elements pass
+    through. The Jacobian is block-diagonal with D/2 copies of m1 and D/2 of
+    m2, so logdet = (slogdet(m1) + slogdet(m2)) * D/2 — the reference's
+    p*(p//2)*C (transformer.py:199-201), identical for even p.
+  - Inverse recomputes A from the untouched masked half and applies two
+    batched triangular-free solves (transformer.py:284-313 uses explicit
+    `torch.inverse`; we use `jnp.linalg.solve`).
+
+TPU-first notes: everything is static-shaped; the N/2 x N/2 blocks are tiny
+(2x2 for square inputs) so slogdet/solve are negligible next to the q/k
+convs, which XLA maps to the MXU.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .conv import conv2d
+
+
+def checkerboard(shape) -> np.ndarray:
+    """1 where the index-sum is even (transformer.py:10-11)."""
+    return (1 - np.indices(shape).sum(axis=0) % 2).astype(np.float32)
+
+
+def to_patches(x: jax.Array, p: int) -> jax.Array:
+    """(B,C,H,W) -> (B, N, C*p*p) with patch-major (row-major grid) ordering."""
+    b, c, h, w = x.shape
+    hh, ww = h // p, w // p
+    x = x.reshape(b, c, hh, p, ww, p)
+    x = x.transpose(0, 2, 4, 1, 3, 5)
+    return x.reshape(b, hh * ww, c * p * p)
+
+
+def from_patches(x: jax.Array, p: int, shape) -> jax.Array:
+    b, c, h, w = shape
+    hh, ww = h // p, w // p
+    x = x.reshape(b, hh, ww, c, p, p)
+    x = x.transpose(0, 3, 1, 4, 2, 5)
+    return x.reshape(b, c, h, w)
+
+
+class InvertibleAttention:
+    """`Transformer_attn` semantics with a configurable head count.
+
+    num_heads=3 reproduces the ACTIVE configuration (transformer.py); 5/7/8
+    cover the transformer_x5/x7/_8 ablation variants.
+    """
+
+    def __init__(self, num_channels: int, num_heads: int = 3, *,
+                 offset_init: float = 0.99, offset2_init: float = 0.65,
+                 offset3_init: float = -0.6, scale_init: float = 100.0):
+        self.nc = num_channels
+        self.num_heads = num_heads
+        self.offset_init = offset_init
+        self.offset2_init = offset2_init
+        self.offset3_init = offset3_init
+        self.scale_init = scale_init
+
+    def init(self, key):
+        ks = jax.random.split(key, 2 * self.num_heads)
+        bound = np.sqrt(1.0 / (3.0 * self.nc))  # kaiming_uniform(a=sqrt(5)) fan_in=nc
+        wq = jnp.stack([
+            jax.random.uniform(ks[i], (self.nc, self.nc), minval=-bound, maxval=bound)
+            for i in range(self.num_heads)])
+        wk = jnp.stack([
+            jax.random.uniform(ks[self.num_heads + i], (self.nc, self.nc),
+                               minval=-bound, maxval=bound)
+            for i in range(self.num_heads)])
+        return {
+            "wq": wq,  # (heads, out, in) 1x1-conv kernels
+            "wk": wk,
+            "offset": jnp.full((1,), self.offset_init),
+            "offset2": jnp.full((1,), self.offset2_init),
+            "offset3": jnp.full((1,), self.offset3_init),
+            "scale": jnp.full((1,), self.scale_init),
+        }
+
+    # -- static helpers -----------------------------------------------------
+    @staticmethod
+    def _geometry(shape):
+        _, c, h, w = shape
+        p = w // 2
+        n = (h // p) * (w // p)
+        d = c * p * p
+        return p, n, d
+
+    def _blocks(self, params, x_masked_img, p, n):
+        """Score matrices m1 (even patches) and m2 (odd patches), (B, n/2, n/2)."""
+        # all heads in one conv: (heads*nc) output channels
+        wq = params["wq"].reshape(self.num_heads * self.nc, self.nc, 1, 1)
+        wk = params["wk"].reshape(self.num_heads * self.nc, self.nc, 1, 1)
+        q = conv2d(x_masked_img, wq)  # (B, heads*C, H, W)
+        k = conv2d(x_masked_img, wk)
+        b = x_masked_img.shape[0]
+        h_img, w_img = x_masked_img.shape[2], x_masked_img.shape[3]
+        # per-head patches: (B, heads, N, D)
+        def head_patches(t):
+            t = t.reshape(b * self.num_heads, self.nc, h_img, w_img)
+            t = to_patches(t, p)
+            return t.reshape(b, self.num_heads, n, -1)
+
+        qp, kp = head_patches(q), head_patches(k)
+        scores = jnp.einsum("bhnd,bhmd->bnm", qp, kp,
+                            preferred_element_type=jnp.float32) / params["scale"][0]
+        a = jax.nn.sigmoid(scores + params["offset2"][0]) + params["offset3"][0]
+        even = np.arange(0, n, 2)
+        odd = np.arange(1, n, 2)
+        eye = jnp.eye(n // 2, dtype=a.dtype) * params["offset"][0]
+        m1 = a[:, even[:, None], even[None, :]] + eye
+        m2 = a[:, odd[:, None], odd[None, :]] + eye
+        return m1, m2
+
+    def _ldj(self, m1, m2, d):
+        s1 = jnp.linalg.slogdet(m1)[1]
+        s2 = jnp.linalg.slogdet(m2)[1]
+        return (s1 + s2) * (d // 2)
+
+    def forward(self, params, x, logdet, *, permute: bool = False, **_):
+        p, n, d = self._geometry(x.shape)
+        mask = jnp.asarray(checkerboard((n, d)))
+        if permute:
+            mask = 1.0 - mask
+        xp = to_patches(x, p)
+        x_masked = xp * mask
+        m1, m2 = self._blocks(params, from_patches(x_masked, p, x.shape), p, n)
+        logdet = logdet + self._ldj(m1, m2, d)
+
+        even = np.arange(0, n, 2)
+        odd = np.arange(1, n, 2)
+        u = xp * (1.0 - mask)
+        y_even = jnp.einsum("bij,bjd->bid", m1, u[:, even],
+                            preferred_element_type=jnp.float32).astype(x.dtype)
+        y_odd = jnp.einsum("bij,bjd->bid", m2, u[:, odd],
+                           preferred_element_type=jnp.float32).astype(x.dtype)
+        yu = jnp.zeros_like(xp).at[:, even].set(y_even).at[:, odd].set(y_odd)
+        yp = yu * (1.0 - mask) + x_masked
+        return from_patches(yp, p, x.shape), logdet
+
+    def inverse(self, params, y, logdet, *, permute: bool = False, **_):
+        p, n, d = self._geometry(y.shape)
+        mask = jnp.asarray(checkerboard((n, d)))
+        if permute:
+            mask = 1.0 - mask
+        yp = to_patches(y, p)
+        y_masked = yp * mask
+        m1, m2 = self._blocks(params, from_patches(y_masked, p, y.shape), p, n)
+        logdet = logdet - self._ldj(m1, m2, d)
+
+        even = np.arange(0, n, 2)
+        odd = np.arange(1, n, 2)
+        u = yp * (1.0 - mask)
+        x_even = jnp.linalg.solve(m1, u[:, even]).astype(y.dtype)
+        x_odd = jnp.linalg.solve(m2, u[:, odd]).astype(y.dtype)
+        xu = jnp.zeros_like(yp).at[:, even].set(x_even).at[:, odd].set(x_odd)
+        xp = xu * (1.0 - mask) + y_masked
+        return from_patches(xp, p, y.shape), logdet

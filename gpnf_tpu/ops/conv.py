@@ -1,0 +1,155 @@
+"""Convolution primitives used by coupling networks.
+
+Pure-function NCHW convolutions with the initialization schemes the flows
+depend on (weight-std Conv2d + actnorm, zero-init Conv2dZeros with learnable
+log-scale, weight-normalized convs). Reference semantics:
+flow_modules/affine_coupling.py:10-66, flow_modules/mixlogcdf_nn.py:12-29,
+models/modules/flow.py:26-83.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_DIMNUMS = ("NCHW", "OIHW", "NCHW")
+
+
+def conv2d(x: jax.Array, w: jax.Array, b=None, *, stride=1, padding="SAME",
+           dilation=1) -> jax.Array:
+    """NCHW conv. Weight layout OIHW. preferred fp32 accumulation on MXU."""
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(dilation, int):
+        dilation = (dilation, dilation)
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=stride, padding=padding,
+        rhs_dilation=dilation, dimension_numbers=_DIMNUMS,
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        y = y + b.reshape(1, -1, 1, 1)
+    return y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Plain conv with normal(0, weight_std) init and optional fused actnorm
+# (Glow's `Conv2d`, affine_coupling.py:27-66 / flow.py:26-65).
+# ---------------------------------------------------------------------------
+class Conv2d:
+    def __init__(self, in_ch: int, out_ch: int, kernel_size=3, *,
+                 do_actnorm: bool = True, weight_std: float = 0.05):
+        self.in_ch, self.out_ch = in_ch, out_ch
+        self.k = (kernel_size, kernel_size) if isinstance(kernel_size, int) else tuple(kernel_size)
+        self.do_actnorm = do_actnorm
+        self.weight_std = weight_std
+
+    def init(self, key):
+        w = jax.random.normal(key, (self.out_ch, self.in_ch, *self.k)) * self.weight_std
+        p = {"w": w}
+        if self.do_actnorm:
+            p["an_bias"] = jnp.zeros((self.out_ch,))
+            p["an_logs"] = jnp.zeros((self.out_ch,))
+        else:
+            p["b"] = jnp.zeros((self.out_ch,))
+        return p
+
+    def apply(self, params, x):
+        if self.do_actnorm:
+            y = conv2d(x, params["w"])
+            return (y + params["an_bias"].reshape(1, -1, 1, 1)) * jnp.exp(
+                params["an_logs"]).reshape(1, -1, 1, 1)
+        return conv2d(x, params["w"], params["b"])
+
+    def ddi(self, params, x, eps: float = 1e-6):
+        """Data-dependent init of the fused actnorm (mirrors Actnormlayer init)."""
+        if not self.do_actnorm:
+            return params, self.apply(params, x)
+        y = conv2d(x, params["w"])
+        mean = jnp.mean(y, axis=(0, 2, 3))
+        var = jnp.mean((y - mean.reshape(1, -1, 1, 1)) ** 2, axis=(0, 2, 3))
+        logs = jnp.log(1.0 / (jnp.sqrt(var) + eps))
+        params = dict(params, an_bias=-mean, an_logs=logs)
+        return params, self.apply(params, x)
+
+
+# ---------------------------------------------------------------------------
+# Zero-initialized conv with learnable per-channel log-scale
+# (`Conv2dZeros`, affine_coupling.py:10-25 / flow.py:68-83).
+# ---------------------------------------------------------------------------
+class Conv2dZeros:
+    def __init__(self, in_ch: int, out_ch: int, kernel_size=3, *,
+                 logscale_factor: float = 3.0):
+        self.in_ch, self.out_ch = in_ch, out_ch
+        self.k = (kernel_size, kernel_size) if isinstance(kernel_size, int) else tuple(kernel_size)
+        self.logscale_factor = logscale_factor
+
+    def init(self, key):
+        del key
+        return {
+            "w": jnp.zeros((self.out_ch, self.in_ch, *self.k)),
+            "b": jnp.zeros((self.out_ch,)),
+            "logs": jnp.zeros((self.out_ch,)),
+        }
+
+    def apply(self, params, x):
+        y = conv2d(x, params["w"], params["b"])
+        return y * jnp.exp(params["logs"] * self.logscale_factor).reshape(1, -1, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# Weight-normalized conv (`WNConv2d`, mixlogcdf_nn.py:12-29). torch's
+# weight_norm: w = g * v / ||v||, norm over all but the output-channel axis.
+# ---------------------------------------------------------------------------
+class WNConv2d:
+    def __init__(self, in_ch: int, out_ch: int, kernel_size: int, *, bias: bool = True):
+        self.in_ch, self.out_ch, self.k = in_ch, out_ch, kernel_size
+        self.bias = bias
+
+    def init(self, key):
+        # torch Conv2d default init: kaiming_uniform(a=sqrt(5)) == U(-1/sqrt(fan_in), +)
+        fan_in = self.in_ch * self.k * self.k
+        bound = 1.0 / jnp.sqrt(fan_in)
+        kv, kb = jax.random.split(key)
+        v = jax.random.uniform(kv, (self.out_ch, self.in_ch, self.k, self.k),
+                               minval=-bound, maxval=bound)
+        g = jnp.sqrt(jnp.sum(v.reshape(self.out_ch, -1) ** 2, axis=-1))
+        p = {"v": v, "g": g}
+        if self.bias:
+            p["b"] = jax.random.uniform(kb, (self.out_ch,), minval=-bound, maxval=bound)
+        return p
+
+    def apply(self, params, x):
+        v = params["v"]
+        norm = jnp.sqrt(jnp.sum(v.reshape(v.shape[0], -1) ** 2, axis=-1))
+        w = v * (params["g"] / norm).reshape(-1, 1, 1, 1)
+        return conv2d(x, w, params.get("b"))
+
+
+class WNDense:
+    """Weight-normalized linear layer (torch nn.Linear + weight_norm).
+
+    Used by the Flow++ gated attention (mixlogcdf_nn.py:124-125). Acts on the
+    last axis.
+    """
+
+    def __init__(self, in_f: int, out_f: int, *, bias: bool = True):
+        self.in_f, self.out_f, self.bias = in_f, out_f, bias
+
+    def init(self, key):
+        bound = 1.0 / jnp.sqrt(self.in_f)
+        kv, kb = jax.random.split(key)
+        v = jax.random.uniform(kv, (self.out_f, self.in_f), minval=-bound, maxval=bound)
+        g = jnp.sqrt(jnp.sum(v**2, axis=-1))
+        p = {"v": v, "g": g}
+        if self.bias:
+            p["b"] = jax.random.uniform(kb, (self.out_f,), minval=-bound, maxval=bound)
+        return p
+
+    def apply(self, params, x):
+        v = params["v"]
+        norm = jnp.sqrt(jnp.sum(v**2, axis=-1))
+        w = v * (params["g"] / norm)[:, None]
+        y = jnp.einsum("...i,oi->...o", x, w, preferred_element_type=jnp.float32)
+        if self.bias:
+            y = y + params["b"]
+        return y.astype(x.dtype)

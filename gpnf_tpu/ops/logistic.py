@@ -1,0 +1,83 @@
+"""Logistic-mixture math for MixLogCDF (Flow++) couplings.
+
+Reference: flow_modules/log_dist.py. The inverse CDF bisection (43-72) is
+re-expressed as a `lax.while_loop` with the same global-convergence rule
+(stop when max |x_new - x| <= 1e-10 or 100 iterations) so it is a single
+compiled loop with static shapes (SURVEY.md §7.3-1).
+
+Mixture tensors carry the component axis at dim 1: x is (B,C,H,W),
+pi/mu/s are (B,K,C,H,W).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def safe_log(x):
+    return jnp.log(jnp.clip(x, min=1e-22))
+
+
+def _log_pdf(x, mean, log_scale):
+    z = (x - mean) * jnp.exp(-log_scale)
+    return z - log_scale - 2.0 * jax.nn.softplus(z)
+
+
+def _log_cdf(x, mean, log_scale):
+    z = (x - mean) * jnp.exp(-log_scale)
+    return jax.nn.log_sigmoid(z)
+
+
+def mixture_log_pdf(x, prior_logits, means, log_scales):
+    log_ps = jax.nn.log_softmax(prior_logits, axis=1) + _log_pdf(
+        x[:, None], means, log_scales)
+    return jax.nn.logsumexp(log_ps, axis=1)
+
+
+def mixture_log_cdf(x, prior_logits, means, log_scales):
+    log_ps = jax.nn.log_softmax(prior_logits, axis=1) + _log_cdf(
+        x[:, None], means, log_scales)
+    return jax.nn.logsumexp(log_ps, axis=1)
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def mixture_inv_cdf(y, prior_logits, means, log_scales, eps=1e-10, max_iters=100):
+    """Bisection inverse CDF. y must already be clipped inside (0, 1)."""
+    max_scales = jnp.sum(jnp.exp(log_scales), axis=1, keepdims=True)
+    lb = jnp.min(means - 20.0 * max_scales, axis=1)
+    ub = jnp.max(means + 20.0 * max_scales, axis=1)
+    x = jnp.zeros_like(y)
+
+    def cond(state):
+        _, _, _, diff, i = state
+        return jnp.logical_and(diff > eps, i < max_iters)
+
+    def body(state):
+        x, lb, ub, _, i = state
+        cur_y = jnp.exp(mixture_log_cdf(x, prior_logits, means, log_scales))
+        gt = (cur_y > y).astype(y.dtype)
+        lt = 1.0 - gt
+        new_x = gt * (x + lb) / 2.0 + lt * (x + ub) / 2.0
+        new_lb = gt * lb + lt * x
+        new_ub = gt * x + lt * ub
+        diff = jnp.max(jnp.abs(new_x - x))
+        return new_x, new_lb, new_ub, diff, i + 1
+
+    x, _, _, _, _ = jax.lax.while_loop(cond, body, (x, lb, ub, jnp.inf, 0))
+    return x
+
+
+def logit_transform(x, reverse=False):
+    """Logit (forward) / sigmoid (reverse) with element-wise |d/dx| log-det.
+
+    Reference `inverse()` (log_dist.py:75-84): forward maps (0,1) -> R.
+    """
+    if reverse:
+        z = jax.nn.sigmoid(x)
+        ldj = jax.nn.softplus(x) + jax.nn.softplus(-x)
+    else:
+        z = -safe_log(1.0 / x - 1.0)
+        ldj = -safe_log(x) - safe_log(1.0 - x)
+    return z, ldj

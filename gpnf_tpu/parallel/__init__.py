@@ -1,0 +1,5 @@
+from .mesh import make_mesh, batch_sharding, replicated
+from .train_step import make_train_step, make_eval_step
+
+__all__ = ["make_mesh", "batch_sharding", "replicated", "make_train_step",
+           "make_eval_step"]
