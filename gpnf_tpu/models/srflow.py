@@ -317,7 +317,11 @@ def level_to_name(scale: int) -> Dict[int, str]:
 class FlowUpsamplerNet:
     def __init__(self, cfg: SRFlowConfig):
         self.cfg = cfg
-        n_rrdb = 64 * (len(cfg.stack_blocks) + 1) if cfg.stack_concat else 64
+        # conditioning width: nf per feature + nf per stacked block when
+        # concatenated (the reference hard-codes nf=64: FlowUpsamplerNet.py
+        # get_n_rrdb_channels; generalized to any nf here)
+        n_rrdb = (cfg.rrdb_nf * (len(cfg.stack_blocks) + 1)
+                  if cfg.stack_concat else cfg.rrdb_nf)
         self.n_rrdb = n_rrdb
         self.level_names = level_to_name(cfg.scale)
 

@@ -55,11 +55,17 @@ class AffineCoupling:
         return shift, jax.nn.sigmoid(scale + 2.0)
 
     def forward(self, params, x, logdet, **_):
+        from .pallas.fused_coupling import fused_affine_forward
+
         z1, z2 = split_channels(x)
-        shift, scale = self._shift_scale(params, z1)
-        z2 = shift + z2 * scale
-        logdet = logdet + sum_except_batch(jnp.log(scale))
-        return jnp.concatenate([z1, z2], axis=1), logdet
+        y = self.net.apply(params["net"], z1)
+        shift, raw = split_channels(y, "cross")
+        # fused Pallas kernel on TPU (transform + logdet in one VMEM pass)
+        b = z2.shape[0]
+        z2f, ldj = fused_affine_forward(z2.reshape(b, -1), shift.reshape(b, -1),
+                                        raw.reshape(b, -1))
+        logdet = logdet + ldj
+        return jnp.concatenate([z1, z2f.reshape(z2.shape)], axis=1), logdet
 
     def inverse(self, params, y, logdet, **_):
         z1, z2 = split_channels(y)

@@ -14,7 +14,18 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+
+def shard_map(f, *, mesh, in_specs, out_specs):
+    """Version-compat shard_map with replication checking off (psum'd outputs
+    are replicated by construction; the checker can't always prove it)."""
+    try:
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+    except (AttributeError, TypeError):  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map as legacy
+        return legacy(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                      check_rep=False)
 
 
 def make_train_step(loss_fn: Callable, optimizer: optax.GradientTransformation,
@@ -42,8 +53,7 @@ def make_train_step(loss_fn: Callable, optimizer: optax.GradientTransformation,
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P(), P("data"), P()),
-             out_specs=(P(), P(), P()),
-             check_rep=False)
+             out_specs=(P(), P(), P()))
     def sharded_step(params, opt_state, batch, rng):
         rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
         loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
@@ -65,7 +75,7 @@ def make_eval_step(metric_fn: Callable, mesh: Optional[Mesh] = None):
         return step
 
     @partial(shard_map, mesh=mesh, in_specs=(P(), P("data"), P()),
-             out_specs=P(), check_rep=False)
+             out_specs=P())
     def sharded_eval(params, batch, rng):
         rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
         return jax.lax.pmean(jnp.mean(metric_fn(params, batch, rng)), "data")

@@ -1,19 +1,24 @@
 """Test harness: run everything on a virtual 8-device CPU mesh.
 
+The environment preloads an 'axon' TPU-tunnel platform and overrides
+JAX_PLATFORMS, so env vars are not enough — the platform must be forced
+through jax.config before the backend initializes.
+
 The reference has no automated tests (SURVEY.md §4); we convert its numeric
 round-trip scripts into real pytest suites and add the multi-device fake
 backend it lacked.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the env presets a TPU tunnel
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")  # beat the axon plugin's override
+jax.config.update("jax_num_cpu_devices", 8)  # virtual 8-device mesh (jax>=0.8)
 jax.config.update("jax_default_matmul_precision", "highest")
 # persistent compile cache: repeat suite runs skip XLA compilation
 jax.config.update("jax_compilation_cache_dir", "/tmp/gpnf_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+assert jax.default_backend() == "cpu", jax.default_backend()

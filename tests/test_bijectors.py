@@ -28,7 +28,8 @@ def exact_logdet(fn, x):
         y = fn(v.reshape(x0.shape)[None])[0]
         return y.reshape(-1)
 
-    jac = jax.jacfwd(flat)(x0.reshape(-1))
+    # jacrev: the fused coupling kernel defines a custom_vjp (no fwd-mode)
+    jac = jax.jacrev(flat)(x0.reshape(-1))
     return jnp.linalg.slogdet(jac)[1]
 
 

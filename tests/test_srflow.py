@@ -129,11 +129,12 @@ def test_srflow_train_step_runs():
     opt_state = opt.init(params)
     step = make_srflow_train_step(model, tcfg, opt, mask)
 
+    # snapshot before the step: the jitted step donates its input buffers
+    w_before = np.asarray(params["rrdb"]["conv_first"]["w"]).copy()
     p1, opt_state, loss1 = step(params, opt_state, jnp.asarray(lr_img),
                                 jnp.asarray(hr_img), jax.random.PRNGKey(5),
                                 jnp.asarray(0))
     assert np.isfinite(float(loss1))
     # RRDB params must be frozen before the delay elapses
-    np.testing.assert_allclose(
-        np.asarray(p1["rrdb"]["conv_first"]["w"]),
-        np.asarray(params["rrdb"]["conv_first"]["w"]))
+    np.testing.assert_allclose(np.asarray(p1["rrdb"]["conv_first"]["w"]),
+                               w_before)
