@@ -29,18 +29,23 @@ def main():
     import jax.numpy as jnp
     import optax
 
+    from gpnf_tpu.utils.jax_setup import setup as jax_setup
+    jax_setup()
+
     from gpnf_tpu.models.marscf import MarScfConfig, MarScfFlow
     from gpnf_tpu.training.loop import bits_per_dim_loss
     from gpnf_tpu.parallel.train_step import make_train_step
+
+    from gpnf_tpu.utils.jax_setup import init_on_cpu
 
     cfg = MarScfConfig(image_shape=(32, 32, 3), L=3, K=4, hidden_channels=96,
                        coupling="mixlogcdf", use_attention=True)
     model = MarScfFlow(cfg)
     rng = jax.random.PRNGKey(0)
-    params = model.init(rng)
+    params = init_on_cpu(model.init, rng)
 
     opt = optax.adamax(1e-4)
-    opt_state = opt.init(params)
+    opt_state = init_on_cpu(opt.init, params)
     step = make_train_step(bits_per_dim_loss(model), opt, mesh=None, donate=True)
 
     x = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, 3, 32, 32)) - 0.5

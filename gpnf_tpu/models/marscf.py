@@ -30,6 +30,16 @@ from .prior import ChannelPriorMultiScale
 from . import register_model
 
 
+def stack_params(param_list):
+    """Stack K structurally-identical param pytrees along a new leading axis
+    (enables lax.scan over flow steps: one compiled body per level)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *param_list)
+
+
+def unstack_params(stacked, k):
+    return [jax.tree.map(lambda x: x[i], stacked) for i in range(k)]
+
+
 @dataclass(frozen=True)
 class MarScfConfig:
     image_shape: Tuple[int, int, int] = (32, 32, 3)  # H, W, C
@@ -49,6 +59,11 @@ class MarScfConfig:
     prior_layers: int = 3
     prior_dp_rate: float = 0.0
     actnorm_scale: float = 1.0
+    # TPU compilation/memory controls: scan over the K identical steps of a
+    # level (compile one body per level, not K), rematerialize the scan body
+    # on the backward pass.
+    scan_steps: bool = True
+    remat: bool = True
 
 
 class FlowStep:
@@ -165,42 +180,75 @@ class MarScfFlow:
         n_steps = sum(len(steps) for steps in self.levels)
         keys = jax.random.split(key, n_steps + 1 + self.cfg.L)
         it = iter(keys)
-        params = {"levels": [{"steps": [s.init(next(it)) for s in steps]}
-                             for steps in self.levels]}
+        params = {"levels": []}
+        for steps in self.levels:
+            step_params = [s.init(next(it)) for s in steps]
+            if self.cfg.scan_steps:
+                params["levels"].append({"steps": stack_params(step_params)})
+            else:
+                params["levels"].append({"steps": step_params})
         if self.prior is not None:
             params["prior"] = self.prior.init(next(it))
         else:
             params["splits"] = [sp.init(next(it)) for sp in self.split_priors]
         return params
 
+    # -- scan over the K steps of one level -----------------------------------
+    def _run_level_steps(self, level_idx, stacked_or_list, z, logdet, *, rng,
+                         train, inverse=False):
+        steps = self.levels[level_idx]
+        k = len(steps)
+        if not self.cfg.scan_steps:
+            order = range(k) if not inverse else reversed(range(k))
+            rngs = (jax.random.split(rng, k) if rng is not None else [None] * k)
+            for j in order:
+                fn = steps[j].inverse if inverse else steps[j].forward
+                z, logdet = fn(stacked_or_list[j], z, logdet, rng=rngs[j],
+                               train=train)
+            return z, logdet
+
+        step = steps[0]  # all K steps share structure/shapes
+        if rng is not None:
+            xs = (stacked_or_list, jax.random.split(rng, k))
+        else:
+            xs = (stacked_or_list,)
+
+        def body(carry, xs):
+            z, logdet = carry
+            p_step = xs[0]
+            key = xs[1] if len(xs) > 1 else None
+            fn = step.inverse if inverse else step.forward
+            z, logdet = fn(p_step, z, logdet, rng=key, train=train)
+            return (z, logdet), None
+
+        if self.cfg.remat:
+            body = jax.checkpoint(body)
+        (z, logdet), _ = jax.lax.scan(body, (z, logdet), xs, reverse=inverse)
+        return z, logdet
+
     # -- density -------------------------------------------------------------
     def encode(self, params, z, logdet, *, rng=None, train=False):
         """Runs the flow; adds prior log-probs. Returns final z and objective."""
-        rngs = (jax.random.split(rng, self.cfg.L * self.cfg.K + self.cfg.L)
-                if rng is not None else None)
-        ri = 0
-        for i, steps in enumerate(self.levels):
+        rngs = (jax.random.split(rng, 2 * self.cfg.L)
+                if rng is not None else [None] * (2 * self.cfg.L))
+        for i in range(self.cfg.L):
             z, logdet = self.squeeze.forward({}, z, logdet)
-            for j, step in enumerate(steps):
-                r = rngs[ri] if rngs is not None else None
-                ri += 1
-                z, logdet = step.forward(params["levels"][i]["steps"][j], z,
-                                         logdet, rng=r, train=train)
+            z, logdet = self._run_level_steps(i, params["levels"][i]["steps"],
+                                              z, logdet, rng=rngs[2 * i],
+                                              train=train)
             if i < self.cfg.L - 1:
                 z1, z2 = split_channels(z)
                 if self.prior is not None:
-                    r = rngs[ri] if rngs is not None else None
                     logdet = logdet + self.prior.log_likelihood(
-                        params["prior"], (z1, z2), i + 1, rng=r, train=train)
+                        params["prior"], (z1, z2), i + 1, rng=rngs[2 * i + 1],
+                        train=train)
                     z = z1
                 else:
                     z, logdet = self.split_priors[i].forward(
                         params["splits"][i], z, logdet)
-                ri += 1
         if self.prior is not None:
-            r = rngs[ri] if rngs is not None else None
             logdet = logdet + self.prior.log_likelihood(
-                params["prior"], z, self.cfg.L, rng=r, train=train)
+                params["prior"], z, self.cfg.L, rng=rngs[-1], train=train)
         else:
             logdet = logdet + GaussianDiag.logp(None, None, z)
         return z, logdet
@@ -239,9 +287,9 @@ class MarScfFlow:
                     z, _ = self.split_priors[i].inverse(
                         params["splits"][i], z, jnp.zeros((batch,)),
                         rng=next(it), eps_std=eps_std)
-            for j in reversed(range(cfg.K)):
-                z, _ = self.levels[i][j].inverse(
-                    params["levels"][i]["steps"][j], z, jnp.zeros((batch,)))
+            z, _ = self._run_level_steps(i, params["levels"][i]["steps"], z,
+                                         jnp.zeros((batch,)), rng=None,
+                                         train=False, inverse=True)
             z, _ = self.squeeze.inverse({}, z, jnp.zeros((batch,)))
         return z
 
@@ -250,12 +298,18 @@ class MarScfFlow:
         """Initialize all actnorms from a prototype batch (run eagerly, once)."""
         z = x + jax.random.uniform(rng, x.shape, x.dtype) * (1.0 / 256.0)
         logdet = jnp.zeros((x.shape[0],), jnp.float32)
-        params = jax.tree.map(lambda a: a, params)  # shallow-copy containers
+        params = jax.tree.map(lambda a: a, params)  # rebuild containers
         for i, steps in enumerate(self.levels):
             z, logdet = self.squeeze.forward({}, z, logdet)
+            stacked = self.cfg.scan_steps
+            plist = (unstack_params(params["levels"][i]["steps"], len(steps))
+                     if stacked else params["levels"][i]["steps"])
+            new_list = []
             for j, step in enumerate(steps):
-                new_p, z, logdet = step.ddi(params["levels"][i]["steps"][j], z, logdet)
-                params["levels"][i]["steps"][j] = new_p
+                new_p, z, logdet = step.ddi(plist[j], z, logdet)
+                new_list.append(new_p)
+            params["levels"][i]["steps"] = (stack_params(new_list) if stacked
+                                            else new_list)
             if i < self.cfg.L - 1:
                 z, _ = split_channels(z)
         return params

@@ -303,6 +303,9 @@ class SRFlowConfig:
     quant: int = 255
     noise_quant: bool = True
     train_rrdb_delay: float = 0.5  # fraction of niter before RRDB unfreezes
+    # TPU compilation/memory controls (see MarScfConfig)
+    scan_steps: bool = True
+    remat: bool = True
 
 
 def level_to_name(scale: int) -> Dict[int, str]:
@@ -339,14 +342,17 @@ class FlowUpsamplerNet:
                                hidden_channels=cfg.hidden_channels,
                                use_attention=cfg.use_attention,
                                attn_heads=cfg.attn_heads), level))
-            for _ in range(cfg.K):
-                self.structure.append((
-                    "step",
-                    SRFlowStep(c, coupling=cfg.coupling, in_channels_rrdb=n_rrdb,
-                               hidden_channels=cfg.hidden_channels,
-                               use_attention=cfg.use_attention,
-                               attn_heads=cfg.attn_heads,
-                               affine_eps=cfg.affine_eps), level))
+            cond_step = SRFlowStep(c, coupling=cfg.coupling,
+                                   in_channels_rrdb=n_rrdb,
+                                   hidden_channels=cfg.hidden_channels,
+                                   use_attention=cfg.use_attention,
+                                   attn_heads=cfg.attn_heads,
+                                   affine_eps=cfg.affine_eps)
+            if cfg.scan_steps:
+                self.structure.append(("kscan", cond_step, level))
+            else:
+                for _ in range(cfg.K):
+                    self.structure.append(("step", cond_step, level))
             if cfg.split_enable and level < cfg.L - correction:
                 split = Split2dCond(c, logs_eps=cfg.logs_eps,
                                     consume_ratio=cfg.consume_ratio,
@@ -358,16 +364,35 @@ class FlowUpsamplerNet:
         self.final_shape = (c, h, w)
 
     def init(self, key):
-        mods = [m for kind, m, _ in self.structure if kind != "squeeze"]
-        keys = jax.random.split(key, max(len(mods), 1))
+        from .marscf import stack_params
+
+        n = len(self.structure) * max(self.cfg.K, 1)
+        keys = jax.random.split(key, n)
         params, ki = [], 0
         for kind, m, _ in self.structure:
             if kind == "squeeze":
                 params.append({})
+            elif kind == "kscan":
+                ps = [m.init(keys[ki + j]) for j in range(self.cfg.K)]
+                ki += self.cfg.K
+                params.append(stack_params(ps))
             else:
                 params.append(m.init(keys[ki]))
                 ki += 1
         return {"layers": params}
+
+    def _run_kscan(self, mod, stacked, z, logdet, ft, inverse=False):
+        def body(carry, p_step):
+            z, logdet = carry
+            fn = mod.inverse if inverse else mod.forward
+            z, logdet = fn(p_step, z, logdet, ft=ft)
+            return (z, logdet), None
+
+        if self.cfg.remat:
+            body = jax.checkpoint(body)
+        (z, logdet), _ = jax.lax.scan(body, (z, logdet), stacked,
+                                      reverse=inverse)
+        return z, logdet
 
     def _ft(self, rrdb_results, level):
         return rrdb_results[self.level_names[level]]
@@ -380,6 +405,9 @@ class FlowUpsamplerNet:
                 z, logdet = mod.forward(p, z, logdet)
             elif kind == "step":
                 z, logdet = mod.forward(p, z, logdet, ft=self._ft(rrdb_results, level))
+            elif kind == "kscan":
+                z, logdet = self._run_kscan(mod, p, z, logdet,
+                                            self._ft(rrdb_results, level))
             else:  # split
                 ft = None
                 if mod.position is not None:
@@ -399,6 +427,10 @@ class FlowUpsamplerNet:
                 z, logdet = mod.inverse(p, z, logdet)
             elif kind == "step":
                 z, logdet = mod.inverse(p, z, logdet, ft=self._ft(rrdb_results, level))
+            elif kind == "kscan":
+                z, logdet = self._run_kscan(mod, p, z, logdet,
+                                            self._ft(rrdb_results, level),
+                                            inverse=True)
             else:
                 ft = None
                 if mod.position is not None:
@@ -412,6 +444,8 @@ class FlowUpsamplerNet:
         return z, logdet
 
     def ddi(self, params, gt, rrdb_results, logdet):
+        from .marscf import stack_params, unstack_params
+
         z = gt
         new_layers = []
         for (kind, mod, level), p in zip(self.structure, params["layers"]):
@@ -421,6 +455,14 @@ class FlowUpsamplerNet:
             elif kind == "step":
                 p, z, logdet = mod.ddi(p, z, logdet, ft=self._ft(rrdb_results, level))
                 new_layers.append(p)
+            elif kind == "kscan":
+                ft = self._ft(rrdb_results, level)
+                plist = unstack_params(p, self.cfg.K)
+                new_list = []
+                for pj in plist:
+                    pj, z, logdet = mod.ddi(pj, z, logdet, ft=ft)
+                    new_list.append(pj)
+                new_layers.append(stack_params(new_list))
             else:
                 ft = rrdb_results[mod.position] if mod.position is not None else None
                 z, logdet, _ = mod.forward(p, z, logdet, ft=ft)

@@ -74,13 +74,16 @@ def train(model_cfg: MarScfConfig, train_cfg: TrainConfig, *, log_fn=print):
     model_cfg = MarScfConfig(**{**asdict(model_cfg), "image_shape": image_shape})
     model = MarScfFlow(model_cfg)
 
+    from ..utils.jax_setup import init_on_cpu
+
     rng = jax.random.PRNGKey(train_cfg.seed)
     rng, k_init, k_ddi = jax.random.split(rng, 3)
-    params = model.init(k_init)
+    params = init_on_cpu(model.init, k_init)
 
-    # data-dependent actnorm init on a prototype batch (eager, pre-jit)
+    # data-dependent actnorm init on a prototype batch (one jitted pass; the
+    # python loop inside ddi has static structure)
     proto = jnp.asarray(next(iter(train_loader)))
-    params = model.ddi(params, proto, k_ddi)
+    params = jax.jit(model.ddi)(params, proto, k_ddi)
 
     mesh = make_mesh() if train_cfg.use_mesh and len(jax.devices()) > 1 else None
 
@@ -157,7 +160,8 @@ def save_sample_grid(model: MarScfFlow, params, rng, path: str, n: int = 64,
                      eps_std: float = 1.0):
     """Sample images, NaN-clamp to -0.5 and clip to [-0.5, 0.5]
     (marscf_main.py:228-229), write a PNG grid."""
-    xs = model.sample(params, rng, batch=n, eps_std=eps_std)
+    sample_fn = jax.jit(lambda p, r: model.sample(p, r, batch=n, eps_std=eps_std))
+    xs = sample_fn(params, rng)
     xs = np.asarray(xs)
     xs = np.where(np.isnan(xs), -0.5, xs)
     xs = np.clip(xs, -0.5, 0.5) + 0.5

@@ -134,13 +134,15 @@ def train_srflow(model_cfg: SRFlowConfig, train_cfg: SRTrainConfig, train_set,
                  val_set=None, *, max_steps: Optional[int] = None,
                  checkpoint_dir: str = "./experiments/srflow/models",
                  val_freq: int = 5000, log_fn=print):
+    from ..utils.jax_setup import init_on_cpu
+
     model = SRFlowNet(model_cfg)
     rng = jax.random.PRNGKey(train_cfg.seed)
     rng, k_init, k_ddi = jax.random.split(rng, 3)
-    params = model.init(k_init)
+    params = init_on_cpu(model.init, k_init)
 
     lr0, hr0 = next(iter(train_set.batches(min(train_cfg.batch_size, 4))))
-    params = model.ddi(params, jnp.asarray(hr0), jnp.asarray(lr0), k_ddi)
+    params = jax.jit(model.ddi)(params, jnp.asarray(hr0), jnp.asarray(lr0), k_ddi)
 
     opt, mask_rrdb = make_srflow_optimizer(train_cfg, params)
     opt_state = opt.init(params)

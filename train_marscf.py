@@ -31,6 +31,8 @@ def main():
     p.add_argument("--seed", default=0, type=int)
     args = p.parse_args()
 
+    from gpnf_tpu.utils.jax_setup import setup as jax_setup
+    jax_setup()
     from gpnf_tpu.models.marscf import MarScfConfig, MarScfFlow
     from gpnf_tpu.training.loop import TrainConfig, train, save_sample_grid
 
@@ -57,8 +59,9 @@ def main():
                                                   args.batch_size, args.data_root)
         from dataclasses import asdict
         model_cfg = MarScfConfig(**{**asdict(model_cfg), "image_shape": image_shape})
+        from gpnf_tpu.utils.jax_setup import init_on_cpu
         model = MarScfFlow(model_cfg)
-        params_template = model.init(jax.random.PRNGKey(0))
+        params_template = init_on_cpu(model.init, jax.random.PRNGKey(0))
         ckpt = CheckpointManager(os.path.join(args.checkpoint_dir, setting_id))
         params = ckpt.restore({"params": params_template}, best=True)["params"]
         print("Checkpoint loaded!")

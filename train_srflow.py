@@ -89,6 +89,8 @@ def main():
     p.add_argument("--max_steps", type=int, default=None)
     args = p.parse_args()
 
+    from gpnf_tpu.utils.jax_setup import setup as jax_setup
+    jax_setup()
     from gpnf_tpu.utils.options import parse_options, dict2str
     from gpnf_tpu.training.srflow_loop import train_srflow
 
