@@ -39,7 +39,12 @@ def main():
     from gpnf_tpu.utils.jax_setup import init_on_cpu
 
     cfg = MarScfConfig(image_shape=(32, 32, 3), L=3, K=4, hidden_channels=96,
-                       coupling="mixlogcdf", use_attention=True)
+                       coupling="mixlogcdf",
+                       compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
+                       remat=os.environ.get("BENCH_REMAT", "1") == "1",
+                       prior=os.environ.get("BENCH_PRIOR", "convlstm"),
+                       num_blocks=int(os.environ.get("BENCH_NN_BLOCKS", 10)),
+                       use_attention=os.environ.get("BENCH_ATTN", "1") == "1")
     model = MarScfFlow(cfg)
     rng = jax.random.PRNGKey(0)
     params = init_on_cpu(model.init, rng)

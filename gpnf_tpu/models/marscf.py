@@ -64,6 +64,9 @@ class MarScfConfig:
     # on the backward pass.
     scan_steps: bool = True
     remat: bool = True
+    # "bfloat16" runs the coupling networks on the MXU in bf16 (log-det math
+    # stays fp32); "float32" is the exact reference-precision path.
+    compute_dtype: str = "float32"
 
 
 class FlowStep:
@@ -76,9 +79,12 @@ class FlowStep:
             self.attn1 = InvertibleAttention(channels, cfg.attn_heads)
             self.attn2 = InvertibleAttention(channels, cfg.attn_heads)
         if cfg.coupling == "mixlogcdf":
+            compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                             else None)
             self.coupling = MixLogCDFCoupling(
                 channels, cfg.hidden_channels, num_blocks=cfg.num_blocks,
-                num_components=cfg.num_components, drop_prob=cfg.drop_prob)
+                num_components=cfg.num_components, drop_prob=cfg.drop_prob,
+                compute_dtype=compute_dtype)
             self.tuple_flip = TupleFlip()
         elif cfg.coupling == "affine":
             self.coupling = AffineCoupling(channels, channels, cfg.hidden_channels)

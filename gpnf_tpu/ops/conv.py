@@ -21,10 +21,14 @@ def conv2d(x: jax.Array, w: jax.Array, b=None, *, stride=1, padding="SAME",
         stride = (stride, stride)
     if isinstance(dilation, int):
         dilation = (dilation, dilation)
+    # fp32 accumulation: explicit for fp32 inputs; bf16 convs accumulate fp32
+    # on the MXU natively and an explicit preferred type breaks the conv
+    # transpose rule under AD.
+    preferred = jnp.float32 if x.dtype == jnp.float32 else None
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=stride, padding=padding,
         rhs_dilation=dilation, dimension_numbers=_DIMNUMS,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=preferred,
     )
     if b is not None:
         y = y + b.reshape(1, -1, 1, 1)
@@ -119,9 +123,10 @@ class WNConv2d:
         return p
 
     def apply(self, params, x):
-        v = params["v"]
+        v = params["v"].astype(jnp.float32)  # weight norm in fp32 under bf16
         norm = jnp.sqrt(jnp.sum(v.reshape(v.shape[0], -1) ** 2, axis=-1))
-        w = v * (params["g"] / norm).reshape(-1, 1, 1, 1)
+        g = params["g"].astype(jnp.float32)
+        w = (v * (g / norm).reshape(-1, 1, 1, 1)).astype(x.dtype)
         return conv2d(x, w, params.get("b"))
 
 
@@ -146,10 +151,12 @@ class WNDense:
         return p
 
     def apply(self, params, x):
-        v = params["v"]
+        v = params["v"].astype(jnp.float32)
         norm = jnp.sqrt(jnp.sum(v**2, axis=-1))
-        w = v * (params["g"] / norm)[:, None]
+        g = params["g"].astype(jnp.float32)
+        w = (v * (g / norm)[:, None]).astype(x.dtype)
         y = jnp.einsum("...i,oi->...o", x, w, preferred_element_type=jnp.float32)
+        y = y.astype(x.dtype)
         if self.bias:
             y = y + params["b"]
-        return y.astype(x.dtype)
+        return y

@@ -47,9 +47,10 @@ class LayerNorm:
         return {"gamma": jnp.ones((self.dim,)), "beta": jnp.zeros((self.dim,))}
 
     def apply(self, params, x):
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
-        xn = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        xf = x.astype(jnp.float32)  # stats in fp32 even under bf16 compute
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
+        xn = ((xf - mean) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
         return xn * params["gamma"] + params["beta"]
 
 
@@ -166,16 +167,22 @@ class ConvAttnBlock:
 
 
 class MixLogCDFNet:
-    """Produces (a, b, pi, mu, scales) with K mixture components per element."""
+    """Produces (a, b, pi, mu, scales) with K mixture components per element.
+
+    compute_dtype: run the conv/attention stack in bf16 on the MXU while the
+    mixture log-density math stays fp32 (outputs are upcast).
+    """
 
     def __init__(self, in_ch: int, num_ch: int, num_blocks: int, num_components: int,
-                 drop_prob: float, use_attn: bool = True, aux_ch=None):
+                 drop_prob: float, use_attn: bool = True, aux_ch=None,
+                 compute_dtype=None):
         self.k = num_components
         self.in_ch = in_ch
         self.in_conv = WNConv2d(in_ch, num_ch, 3)
         self.blocks = [ConvAttnBlock(num_ch, drop_prob, use_attn, aux_ch)
                        for _ in range(num_blocks)]
         self.out_conv = WNConv2d(num_ch, in_ch * (2 + 3 * self.k), 3)
+        self.compute_dtype = compute_dtype
 
     def init(self, key):
         ks = jax.random.split(key, len(self.blocks) + 3)
@@ -189,10 +196,21 @@ class MixLogCDFNet:
     def apply(self, params, x, aux=None, *, rng=None, train=False):
         b, c, h, w = x.shape
         rngs = jax.random.split(rng, len(self.blocks)) if rng is not None else [None] * len(self.blocks)
-        y = self.in_conv.apply(params["in_conv"], x)
-        for blk, p, r in zip(self.blocks, params["blocks"], rngs):
+        if self.compute_dtype is not None:
+            cast = lambda t: (t.astype(self.compute_dtype)
+                              if jnp.issubdtype(t.dtype, jnp.floating) else t)
+            net_params = jax.tree.map(cast, {k: params[k] for k in
+                                             ("in_conv", "blocks", "out_conv")})
+            x = x.astype(self.compute_dtype)
+            if aux is not None:
+                aux = aux.astype(self.compute_dtype)
+        else:
+            net_params = params
+        y = self.in_conv.apply(net_params["in_conv"], x)
+        for blk, p, r in zip(self.blocks, net_params["blocks"], rngs):
             y = blk.apply(p, y, aux, rng=r, train=train)
-        y = self.out_conv.apply(params["out_conv"], y)
+        y = self.out_conv.apply(net_params["out_conv"], y)
+        y = y.astype(jnp.float32)  # log-density math stays fp32
 
         y = y.reshape(b, 2 + 3 * self.k, c, h, w)
         a, t = y[:, 0], y[:, 1]
@@ -206,9 +224,10 @@ class MixLogCDFNet:
 class MixLogCDFCoupling:
     def __init__(self, in_ch: int, mid_ch: int, num_blocks: int = 10,
                  num_components: int = 32, drop_prob: float = 0.2,
-                 use_attn: bool = True, aux_ch=None):
+                 use_attn: bool = True, aux_ch=None, compute_dtype=None):
         self.net = MixLogCDFNet(in_ch // 2, mid_ch, num_blocks, num_components,
-                                drop_prob, use_attn, aux_ch)
+                                drop_prob, use_attn, aux_ch,
+                                compute_dtype=compute_dtype)
 
     def init(self, key):
         return {"net": self.net.init(key)}

@@ -102,14 +102,23 @@ def train(model_cfg: MarScfConfig, train_cfg: TrainConfig, *, log_fn=print):
     ckpt = CheckpointManager(os.path.join(train_cfg.checkpoint_dir, setting_id))
 
     log_file = None
+    metrics = None
     if train_cfg.log_path:
         os.makedirs(os.path.dirname(train_cfg.log_path) or ".", exist_ok=True)
         log_file = open(train_cfg.log_path, "a")
+        from ..utils.logging import MetricsWriter
+
+        metrics = MetricsWriter(os.path.dirname(train_cfg.log_path) or ".")
 
     def emit(record):
         if log_file:
             log_file.write(json.dumps(record) + "\n")
             log_file.flush()
+        if metrics is not None:
+            step = record.get("step", 0)
+            for key in ("nll", "test_nll", "images_per_sec", "t", "td"):
+                if key in record:
+                    metrics.scalar(key, record[key], step)
 
     best_test_nll = math.inf
     global_step = 0

@@ -33,12 +33,21 @@ def main():
     model = SRFlowNet(model_cfg)
     params = model.init(jax.random.PRNGKey(0))
 
-    ckpt_dir = args.ckpt or (opt["path"].get("models") if opt["path"] else None)
+    # eval configs don't derive the models dir; fall back to the training
+    # experiment layout so a fresh test run picks up the trained weights
+    root = (opt["path"].get("root") if opt["path"] else None) or "."
+    default_models = os.path.join(root, "experiments", opt.get("name", ""), "models")
+    ckpt_dir = args.ckpt or (opt["path"].get("models") if opt["path"] else None) \
+        or default_models
     if ckpt_dir and os.path.isdir(ckpt_dir):
         mgr = CheckpointManager(ckpt_dir)
         if mgr.latest_step() is not None:
             params = mgr.restore({"params": params})["params"]
             print(f"restored step {mgr.latest_step()} from {ckpt_dir}")
+        else:
+            print(f"WARNING: no checkpoint under {ckpt_dir}; evaluating random init")
+    else:
+        print(f"WARNING: checkpoint dir {ckpt_dir} missing; evaluating random init")
 
     _, val_set = load_datasets(opt, model_cfg)
     sampler = make_sr_sampler(model)
