@@ -55,16 +55,45 @@ class NumpyLoader:
         return n
 
     def __iter__(self) -> Iterator[np.ndarray]:
+        from . import native
+
         idx = np.arange(self.images.shape[0])
         if self.shuffle:
             self.rng.shuffle(idx)
         end = (len(idx) // self.batch_size) * self.batch_size if self.drop_last else len(idx)
+        use_native = native.available()
         for start in range(0, end, self.batch_size):
             batch = self.images[idx[start : start + self.batch_size]]
             if self.augment == "cifar":
-                batch = shift_augment(self.rng, batch)
-                batch = random_flip(self.rng, batch)
-            yield batch.astype(np.float32) / 255.0 - 0.5
+                n = batch.shape[0]
+                shifts = self.rng.integers(0, 6, size=n).astype(np.int32)
+                horiz = (self.rng.random(n) < 0.5).astype(np.uint8)
+                flip = (self.rng.random(n) < 0.5).astype(np.uint8)
+                if use_native:  # one fused C++ pass over the batch
+                    batch = native.shift_flip_augment(batch, 3, shifts, horiz, flip)
+                else:
+                    batch = _numpy_shift_flip(batch, 3, shifts, horiz, flip)
+            if use_native:
+                yield native.u8_to_centered_f32(batch)
+            else:
+                yield batch.astype(np.float32) / 255.0 - 0.5
+
+
+def _numpy_shift_flip(batch: np.ndarray, pixels: int, shifts, horizontal,
+                      flip) -> np.ndarray:
+    """Numpy reference for the native kernel (same sampled decisions)."""
+    n, _, h, w = batch.shape
+    padded = np.pad(batch, ((0, 0), (0, 0), (pixels, pixels), (pixels, pixels)),
+                    mode="edge")
+    out = np.empty_like(batch)
+    for i in range(n):
+        s = int(shifts[i])
+        if horizontal[i]:
+            img = padded[i, :, pixels : pixels + h, s : s + w]
+        else:
+            img = padded[i, :, s : s + h, pixels : pixels + w]
+        out[i] = img[:, :, ::-1] if flip[i] else img
+    return out
 
 
 # --------------------------------------------------------------------------

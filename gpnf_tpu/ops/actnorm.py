@@ -52,3 +52,29 @@ class ActNorm:
         params = {"bias": -mean, "logs": logs}
         y, logdet = self.forward(params, x, logdet)
         return params, y, logdet
+
+
+class MaskedActNorm:
+    """ActNorm applied only where a binary mask is set; log-det counts only
+    masked positions. Reference: models/modules/FlowActNorms.py:128-140
+    (`MaskedActNorm2d`)."""
+
+    def __init__(self, num_channels: int, scale: float = 1.0):
+        self.inner = ActNorm(num_channels, scale)
+
+    def init(self, key):
+        return self.inner.init(key)
+
+    def forward(self, params, x, logdet, *, mask, **_):
+        y, _ = self.inner.forward(params, x, jnp.zeros_like(logdet))
+        out = jnp.where(mask, y, x)
+        logs = params["logs"].reshape(1, -1, 1, 1)
+        ldj = jnp.sum((logs * mask.astype(x.dtype)).reshape(x.shape[0], -1), axis=-1)
+        return out, logdet + ldj
+
+    def inverse(self, params, y, logdet, *, mask, **_):
+        x, _ = self.inner.inverse(params, y, jnp.zeros_like(logdet))
+        out = jnp.where(mask, x, y)
+        logs = params["logs"].reshape(1, -1, 1, 1)
+        ldj = jnp.sum((logs * mask.astype(y.dtype)).reshape(y.shape[0], -1), axis=-1)
+        return out, logdet - ldj

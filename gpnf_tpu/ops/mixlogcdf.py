@@ -233,13 +233,21 @@ class MixLogCDFCoupling:
         return {"net": self.net.init(key)}
 
     def forward(self, params, x, logdet, *, rng=None, train=False, **_):
+        from .pallas.fused_mixlogcdf import mixlogcdf_forward
+
         x_change, x_id = split_channels(x)
         a, b, pi, mu, s = self.net.apply(params["net"], x_id, rng=rng, train=train)
-        out = jnp.exp(logistic.mixture_log_cdf(x_change, pi, mu, s))
-        out, scale_ldj = logistic.logit_transform(out)
-        out = (out + b) * jnp.exp(a)
-        logistic_ldj = logistic.mixture_log_pdf(x_change, pi, mu, s)
-        logdet = logdet + sum_except_batch(logistic_ldj + scale_ldj + a)
+        # fused Pallas kernel on TPU: mixture CDF/PDF + logit + affine + ldj
+        # in one VMEM pass (jnp reference elsewhere)
+        bsz = x.shape[0]
+        k = pi.shape[1]
+        flat = lambda t: t.reshape(bsz, -1)
+        y, ldj = mixlogcdf_forward(flat(x_change), flat(a), flat(b),
+                                   pi.reshape(bsz, k, -1),
+                                   mu.reshape(bsz, k, -1),
+                                   s.reshape(bsz, k, -1))
+        out = y.reshape(x_change.shape)
+        logdet = logdet + jnp.sum(ldj, axis=-1)
         return jnp.concatenate([out, x_id], axis=1), logdet
 
     def inverse(self, params, y, logdet, *, rng=None, train=False, **_):

@@ -35,6 +35,8 @@ def _unflatten_into(template, flat, prefix=""):
         return {k: _unflatten_into(v, flat, f"{prefix}{k}/") for k, v in template.items()}
     if isinstance(template, (list, tuple)):
         seq = [_unflatten_into(v, flat, f"{prefix}{i}/") for i, v in enumerate(template)]
+        if hasattr(template, "_fields"):  # NamedTuple (optax states)
+            return type(template)(*seq)
         return type(template)(seq) if isinstance(template, tuple) else seq
     return flat[prefix[:-1]]
 

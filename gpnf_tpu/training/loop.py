@@ -87,10 +87,14 @@ def train(model_cfg: MarScfConfig, train_cfg: TrainConfig, *, log_fn=print):
 
     mesh = make_mesh() if train_cfg.use_mesh and len(jax.devices()) > 1 else None
 
-    # Adamax + linear warmup counted in samples (marscf_main.py:302-303,346)
+    # Adamax + linear warmup counted in samples (marscf_main.py:302-303,346).
+    # apply_if_finite = the TPU-native analogue of the reference's per-step
+    # RuntimeError/NaN swallow (train.py:194-198): non-finite grads skip the
+    # update instead of poisoning the params.
     sched = optax.linear_schedule(0.0, train_cfg.lr,
                                   max(train_cfg.warm_up // train_cfg.batch_size, 1))
-    opt = optax.adamax(learning_rate=sched)
+    opt = optax.apply_if_finite(optax.adamax(learning_rate=sched),
+                                max_consecutive_errors=100)
     opt_state = opt.init(params)
 
     step_fn = make_train_step(bits_per_dim_loss(model), opt, mesh,

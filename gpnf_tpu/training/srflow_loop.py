@@ -70,6 +70,8 @@ def make_srflow_optimizer(cfg: SRTrainConfig, params):
 
     opt = optax.multi_transform(
         {"rrdb": group(cfg.lr_RRDB), "flow": group(cfg.lr_G)}, label_fn)
+    # skip non-finite updates (train.py:194-198 catch-and-continue analogue)
+    opt = optax.apply_if_finite(opt, max_consecutive_errors=100)
 
     delay_steps = int(cfg.train_rrdb_delay * cfg.niter)
 
