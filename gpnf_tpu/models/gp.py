@@ -33,7 +33,8 @@ def _sqdist(x1, x2, lengthscale):
     b = x2 / lengthscale
     a2 = jnp.sum(a * a, axis=-1, keepdims=True)
     b2 = jnp.sum(b * b, axis=-1, keepdims=True)
-    cross = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+    cross = jnp.dot(a, b.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(a2 - 2.0 * cross + b2.T, 0.0)
 
 
@@ -112,28 +113,32 @@ class GPRegression:
 
     def neg_log_marginal_likelihood(self, params, x, y):
         """-log p(y | X) / N. y: (N,) or (N, P) independent outputs."""
-        y2d = y[:, None] if y.ndim == 1 else y
-        n, p = y2d.shape
-        l = self._factorize(params, x)
-        a = jax.scipy.linalg.solve_triangular(l, y2d, lower=True)
-        quad = jnp.sum(a * a)
-        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(l)))
-        mll = -0.5 * quad - 0.5 * p * logdet - 0.5 * n * p * LOG2PI
-        return -mll / (n * p)
+        # full fp32 matmul passes: TPU's default bf16 passes destroy the
+        # conditioning of the Gram factorization
+        with jax.default_matmul_precision("highest"):
+            y2d = y[:, None] if y.ndim == 1 else y
+            n, p = y2d.shape
+            l = self._factorize(params, x)
+            a = jax.scipy.linalg.solve_triangular(l, y2d, lower=True)
+            quad = jnp.sum(a * a)
+            logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(l)))
+            mll = -0.5 * quad - 0.5 * p * logdet - 0.5 * n * p * LOG2PI
+            return -mll / (n * p)
 
     def posterior(self, params, x_train, y_train, x_test):
         """Predictive mean and marginal variance at x_test."""
-        y2d = y_train[:, None] if y_train.ndim == 1 else y_train
-        l = self._factorize(params, x_train)
-        k_star = self.gram(params, x_train, x_test)  # (N, M)
-        alpha = jax.scipy.linalg.cho_solve((l, True), y2d)
-        mean = k_star.T @ alpha
-        v = jax.scipy.linalg.solve_triangular(l, k_star, lower=True)
-        ls, var, noise = self._hyper(params)
-        k_ss = var  # stationary kernels: k(x,x) = variance
-        post_var = jnp.maximum(k_ss - jnp.sum(v * v, axis=0), 1e-12) + noise
-        mean = mean[:, 0] if y_train.ndim == 1 else mean
-        return mean, post_var
+        with jax.default_matmul_precision("highest"):
+            y2d = y_train[:, None] if y_train.ndim == 1 else y_train
+            l = self._factorize(params, x_train)
+            k_star = self.gram(params, x_train, x_test)  # (N, M)
+            alpha = jax.scipy.linalg.cho_solve((l, True), y2d)
+            mean = k_star.T @ alpha
+            v = jax.scipy.linalg.solve_triangular(l, k_star, lower=True)
+            ls, var, noise = self._hyper(params)
+            k_ss = var  # stationary kernels: k(x,x) = variance
+            post_var = jnp.maximum(k_ss - jnp.sum(v * v, axis=0), 1e-12) + noise
+            mean = mean[:, 0] if y_train.ndim == 1 else mean
+            return mean, post_var
 
     def fit(self, params, x, y, *, steps: int = 200, lr: float = 0.05):
         """Type-II MLE of the hyperparameters via Adam on the NLML."""

@@ -31,23 +31,35 @@ import numpy as np
 BLK = 128
 
 
+def _dot(x, y):
+    return jnp.dot(x, y, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
 def _unblocked_cholesky(a):
-    """Right-looking Cholesky of a (b, b) SPD block, in registers."""
+    """Right-looking Cholesky of a (b, b) SPD block, in registers.
+
+    Mosaic-compatible: no value indexing with traced loop indices — element
+    selection is done with one-hot masks and (b,1) matvecs, which lower to
+    VPU selects and MXU ops inside Pallas kernels.
+    """
     b = a.shape[0]
     rows = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)
 
     def body(k, carry):
         a_cur, l_acc = carry
-        pivot = jnp.sqrt(a_cur[k, k])
-        col = a_cur[:, k] / pivot
-        col = jnp.where(jax.lax.broadcasted_iota(jnp.int32, (b,), 0) >= k, col, 0.0)
-        col = col.at[k].set(pivot)
-        # trailing rank-1 update on indices > k only
-        low = col.at[k].set(0.0)
-        a_new = a_cur - low[:, None] * low[None, :]
-        a_cur = jnp.where(jnp.logical_and(rows > k, cols > k), a_new, a_cur)
-        l_acc = l_acc.at[:, k].set(col)
+        onehot = (ridx == k).astype(a.dtype)  # (b, 1) e_k
+        col_k = _dot(a_cur, onehot)  # (b, 1) = a[:, k]
+        akk = jnp.sum(col_k * onehot)
+        pivot = jnp.sqrt(akk)
+        col = jnp.where(ridx > k, col_k / pivot, 0.0)
+        low = col  # strictly-below-diagonal part
+        col = col + onehot * pivot
+        a_cur = jnp.where(jnp.logical_and(rows > k, cols > k),
+                          a_cur - _dot(low, low.T), a_cur)
+        l_acc = l_acc + _dot(col, onehot.T)  # write column k
         return a_cur, l_acc
 
     _, l = jax.lax.fori_loop(0, b, body, (a, jnp.zeros_like(a)))
@@ -55,16 +67,19 @@ def _unblocked_cholesky(a):
 
 
 def _tril_inverse(l):
-    """inv(L) for lower-triangular (b, b) L via row-wise forward substitution."""
+    """inv(L) for lower-triangular (b, b) L via row-wise forward substitution
+    (same Mosaic-compatible one-hot formulation)."""
     b = l.shape[0]
-    idx = jax.lax.broadcasted_iota(jnp.int32, (b,), 0)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
 
     def body(k, x):
-        # row k of inv: (e_k - L[k, :k] @ X[:k]) / L[k, k]
-        lk = jnp.where(idx < k, l[k, :], 0.0)
-        row = -jnp.dot(lk, x, preferred_element_type=jnp.float32)
-        row = row.at[k].add(1.0)
-        return x.at[k, :].set(row / l[k, k])
+        onehot = (ridx == k).astype(l.dtype)  # (b, 1)
+        l_row = _dot(onehot.T, l)  # (1, b) = L[k, :]
+        lkk = jnp.sum(l_row * onehot.T)
+        lk = jnp.where(cidx < k, l_row, 0.0)
+        row = (onehot.T - _dot(lk, x)) / lkk  # (1, b)
+        return x + _dot(onehot, row)  # write row k
 
     return jax.lax.fori_loop(0, b, body, jnp.zeros_like(l))
 
@@ -95,12 +110,24 @@ def _mask_lower(a):
 
 
 def _chol_kernel(a_ref, out_ref):
+    """In-place blocked factorization on the VMEM output ref. All block
+    indices are static Python ints, so every ref access is a static slice
+    (Mosaic lowers those; value-level dynamic_update_slice it does not)."""
     n = a_ref.shape[0]
-    a = a_ref[:]
-    a = _blocked_cholesky_body(
-        a, n, BLK,
-        dot=lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32))
-    out_ref[:] = _mask_lower(a)
+    nb = n // BLK
+    out_ref[:] = a_ref[:]
+    for j in range(nb):
+        s = j * BLK
+        d = _unblocked_cholesky(out_ref[s : s + BLK, s : s + BLK])
+        out_ref[s : s + BLK, s : s + BLK] = d
+        if j < nb - 1:
+            d_inv = _tril_inverse(d)
+            a21 = out_ref[s + BLK :, s : s + BLK]
+            l21 = _dot(a21, d_inv.T)
+            out_ref[s + BLK :, s : s + BLK] = l21
+            a22 = out_ref[s + BLK :, s + BLK :]
+            out_ref[s + BLK :, s + BLK :] = a22 - _dot(l21, l21.T)
+    out_ref[:] = _mask_lower(out_ref[:])
 
 
 @partial(jax.jit, static_argnames=())
@@ -120,7 +147,7 @@ def pallas_cholesky(a: jax.Array) -> jax.Array:
         out_shape=jax.ShapeDtypeStruct(a.shape, a.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        cost_estimate=pl.CostEstimate(flops=n**3 / 3,
+        cost_estimate=pl.CostEstimate(flops=n**3 // 3,
                                       bytes_accessed=2 * n * n * 4,
                                       transcendentals=n),
     )(a)
@@ -148,7 +175,5 @@ def cholesky_blocked(a: jax.Array, *, use_pallas: bool | None = None) -> jax.Arr
     elif m <= BLK:
         l = _mask_lower(_unblocked_cholesky(a))
     else:
-        l = _mask_lower(_blocked_cholesky_body(
-            a, m, BLK,
-            dot=lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)))
+        l = _mask_lower(_blocked_cholesky_body(a, m, BLK, dot=_dot))
     return l[:n, :n] if pad else l

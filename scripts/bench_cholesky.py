@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Blocked-Cholesky throughput (GFLOP/s) — the BASELINE.json tracked metric.
+
+Compares the fused Pallas kernel against XLA's native cholesky on the local
+accelerator across sizes. Prints one JSON line per size.
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpnf_tpu.utils.jax_setup import setup
+    setup()
+    from gpnf_tpu.ops.pallas.cholesky import cholesky_blocked, pallas_cholesky
+
+    on_tpu = jax.default_backend() == "tpu"
+    rng = np.random.default_rng(0)
+
+    for n in (256, 512, 1024):
+        a = rng.standard_normal((n, n)).astype(np.float32)
+        spd = jnp.asarray(a @ a.T + n * np.eye(n, dtype=np.float32))
+
+        impls = {"xla_native": jax.jit(jnp.linalg.cholesky)}
+        if on_tpu:
+            impls["pallas_fused"] = jax.jit(pallas_cholesky)
+        else:
+            impls["blocked_xla"] = jax.jit(
+                lambda m: cholesky_blocked(m, use_pallas=False))
+
+        for name, fn in impls.items():
+            l = fn(spd)
+            jax.block_until_ready(l)
+            reps = 50
+            t0 = time.time()
+            for _ in range(reps):
+                l = fn(spd)
+            jax.block_until_ready(l)
+            dt = (time.time() - t0) / reps
+            gflops = (n**3 / 3) / dt / 1e9
+            err = float(jnp.max(jnp.abs(l @ l.T - spd))) / n
+            print(json.dumps({"metric": f"cholesky_{name}_n{n}",
+                              "value": round(gflops, 2), "unit": "GFLOP/s",
+                              "ms": round(dt * 1e3, 3),
+                              "rel_err": f"{err:.2e}"}))
+
+
+if __name__ == "__main__":
+    main()

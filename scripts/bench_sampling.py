@@ -1,0 +1,49 @@
+#!/usr/bin/env python
+"""Sampling (reverse-path) throughput for mAR-SCF — exercises the ConvLSTM
+ancestral scan and the MixLogCDF bisection inverse (the reference's two
+sequential hot loops, SURVEY.md §3.2)."""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import jax
+
+    from gpnf_tpu.utils.jax_setup import setup, init_on_cpu
+    setup()
+    from gpnf_tpu.models.marscf import MarScfConfig, MarScfFlow
+
+    batch = int(os.environ.get("BENCH_BATCH", 64))
+    cfg = MarScfConfig(image_shape=(32, 32, 3), L=3, K=4, hidden_channels=96,
+                       coupling="mixlogcdf",
+                       compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"))
+    model = MarScfFlow(cfg)
+    params = init_on_cpu(model.init, jax.random.PRNGKey(0))
+
+    sample = jax.jit(lambda p, r: model.sample(p, r, batch=batch, eps_std=1.0))
+    rng = jax.random.PRNGKey(1)
+    t0 = time.time()
+    xs = sample(params, rng)
+    jax.block_until_ready(xs)
+    compile_s = time.time() - t0
+
+    reps = 5
+    t0 = time.time()
+    for i in range(reps):
+        rng, sub = jax.random.split(rng)
+        xs = sample(params, sub)
+    jax.block_until_ready(xs)
+    dt = (time.time() - t0) / reps
+
+    print(json.dumps({"metric": "cifar10_mixlogcdf_K4_C96_sampling",
+                      "value": round(batch / dt, 2), "unit": "images/sec/chip",
+                      "sample_ms": round(dt * 1e3, 1),
+                      "compile_s": round(compile_s, 1)}))
+
+
+if __name__ == "__main__":
+    main()
