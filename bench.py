@@ -44,7 +44,10 @@ def main():
                        remat=os.environ.get("BENCH_REMAT", "1") == "1",
                        prior=os.environ.get("BENCH_PRIOR", "convlstm"),
                        num_blocks=int(os.environ.get("BENCH_NN_BLOCKS", 10)),
-                       use_attention=os.environ.get("BENCH_ATTN", "1") == "1")
+                       use_attention=os.environ.get("BENCH_ATTN", "1") == "1",
+                       drop_prob=float(os.environ.get("BENCH_DROP", 0.2)))
+    if os.environ.get("BENCH_RBG", "0") == "1":
+        jax.config.update("jax_default_prng_impl", "rbg")
     model = MarScfFlow(cfg)
     rng = jax.random.PRNGKey(0)
     params = init_on_cpu(model.init, rng)

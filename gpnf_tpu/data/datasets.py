@@ -20,7 +20,7 @@ from typing import Iterator, Optional, Tuple
 
 import numpy as np
 
-from .transforms import mnist_glow_pad, random_flip, shift_augment
+from .transforms import mnist_glow_pad
 
 
 @dataclass

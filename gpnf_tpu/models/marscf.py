@@ -64,6 +64,10 @@ class MarScfConfig:
     # on the backward pass.
     scan_steps: bool = True
     remat: bool = True
+    # remat granularity: "" = recompute everything; "remat_ckpt" = keep the
+    # named activations (coupling-block outputs) and recompute only within a
+    # block on the backward pass.
+    remat_save_names: str = "remat_ckpt"
     # "bfloat16" runs the coupling networks on the MXU in bf16 (log-det math
     # stays fp32); "float32" is the exact reference-precision path.
     compute_dtype: str = "float32"
@@ -228,7 +232,11 @@ class MarScfFlow:
             return (z, logdet), None
 
         if self.cfg.remat:
-            body = jax.checkpoint(body)
+            policy = None
+            if self.cfg.remat_save_names:
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    self.cfg.remat_save_names)
+            body = jax.checkpoint(body, policy=policy)
         (z, logdet), _ = jax.lax.scan(body, (z, logdet), xs, reverse=inverse)
         return z, logdet
 

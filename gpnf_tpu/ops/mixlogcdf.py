@@ -163,7 +163,12 @@ class ConvAttnBlock:
         if self.use_attn:
             x = self.attn.apply(params["attn"], x, rng=r2, train=train) + x
             x = self.norm2.apply(params["norm2"], x)
-        return x.transpose(0, 3, 1, 2)
+        x = x.transpose(0, 3, 1, 2)
+        # block-granular remat boundary: under the scan-body checkpoint with
+        # save_only_these_names, block outputs are kept (cheap: C channels)
+        # so the backward pass recomputes at most one block, not the stack
+        from jax.ad_checkpoint import checkpoint_name
+        return checkpoint_name(x, "remat_ckpt")
 
 
 class MixLogCDFNet:

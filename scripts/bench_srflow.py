@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""SRFlow training-step throughput on the local accelerator.
+
+Default is a mid-size config (quarter-size crops, half-depth RRDB) so the
+single-core host can compile it in minutes; set BENCH_FULL=1 for the
+reference-scale 160px K=16 nb=23 model.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gpnf_tpu.utils.jax_setup import setup, init_on_cpu
+    setup()
+    from gpnf_tpu.models.srflow import SRFlowConfig, SRFlowNet
+    from gpnf_tpu.training.srflow_loop import (SRTrainConfig,
+                                               make_srflow_optimizer,
+                                               make_srflow_train_step)
+
+    full = os.environ.get("BENCH_FULL", "0") == "1"
+    batch = int(os.environ.get("BENCH_BATCH", 16 if full else 16))
+    if full:
+        cfg = SRFlowConfig(scale=4, hr_size=160, K=16, L=3, rrdb_nb=23)
+        tag = "srflow_160px_K16_nb23"
+    else:
+        cfg = SRFlowConfig(scale=4, hr_size=80, K=8, L=3, rrdb_nb=8,
+                           stack_blocks=(1, 4, 7))
+        tag = "srflow_80px_K8_nb8"
+
+    model = SRFlowNet(cfg)
+    params = init_on_cpu(model.init, jax.random.PRNGKey(0))
+    tcfg = SRTrainConfig(niter=1000, batch_size=batch)
+    opt, mask = make_srflow_optimizer(tcfg, params)
+    opt_state = init_on_cpu(opt.init, params)
+    step = make_srflow_train_step(model, tcfg, opt, mask)
+
+    lr = jax.random.uniform(jax.random.PRNGKey(1),
+                            (batch, 3, cfg.hr_size // 4, cfg.hr_size // 4))
+    hr = jax.random.uniform(jax.random.PRNGKey(2), (batch, 3, cfg.hr_size,
+                                                    cfg.hr_size))
+    rng = jax.random.PRNGKey(3)
+
+    t0 = time.time()
+    params, opt_state, loss = step(params, opt_state, lr, hr, rng,
+                                   jnp.asarray(0))
+    jax.block_until_ready(loss)
+    compile_s = time.time() - t0
+
+    reps = 10
+    t0 = time.time()
+    for i in range(reps):
+        rng, sub = jax.random.split(rng)
+        params, opt_state, loss = step(params, opt_state, lr, hr, sub,
+                                       jnp.asarray(i))
+    jax.block_until_ready(loss)
+    dt = (time.time() - t0) / reps
+
+    print(json.dumps({"metric": f"{tag}_train_throughput",
+                      "value": round(batch / dt, 2), "unit": "images/sec/chip",
+                      "step_ms": round(dt * 1e3, 1),
+                      "compile_s": round(compile_s, 1),
+                      "loss": round(float(loss), 3)}))
+
+
+if __name__ == "__main__":
+    main()
