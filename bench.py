@@ -36,7 +36,7 @@ def main():
     from gpnf_tpu.training.loop import bits_per_dim_loss
     from gpnf_tpu.parallel.train_step import make_train_step
 
-    from gpnf_tpu.utils.jax_setup import init_on_cpu
+    from gpnf_tpu.utils.jax_setup import init_on_cpu, to_default_device
 
     cfg = MarScfConfig(image_shape=(32, 32, 3), L=3, K=4, hidden_channels=96,
                        coupling="mixlogcdf",
@@ -46,14 +46,12 @@ def main():
                        num_blocks=int(os.environ.get("BENCH_NN_BLOCKS", 10)),
                        use_attention=os.environ.get("BENCH_ATTN", "1") == "1",
                        drop_prob=float(os.environ.get("BENCH_DROP", 0.2)))
-    if os.environ.get("BENCH_RBG", "0") == "1":
-        jax.config.update("jax_default_prng_impl", "rbg")
     model = MarScfFlow(cfg)
     rng = jax.random.PRNGKey(0)
-    params = init_on_cpu(model.init, rng)
+    params = to_default_device(init_on_cpu(model.init, rng))
 
     opt = optax.adamax(1e-4)
-    opt_state = init_on_cpu(opt.init, params)
+    opt_state = to_default_device(init_on_cpu(opt.init, params))
     step = make_train_step(bits_per_dim_loss(model), opt, mesh=None, donate=True)
 
     x = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, 3, 32, 32)) - 0.5

@@ -19,7 +19,7 @@ from ..training.checkpoints import CheckpointManager
 from ..training.srflow_loop import (SRTrainConfig, make_sr_sampler,
                                     make_srflow_optimizer,
                                     make_srflow_train_step)
-from ..utils.jax_setup import init_on_cpu
+from ..utils.jax_setup import init_on_cpu, to_default_device
 from .srflow import SRFlowConfig, SRFlowNet
 
 
@@ -33,9 +33,9 @@ class SRFlowModel:
         self.train_cfg = train_cfg
         rng = jax.random.PRNGKey(seed)
         self.rng, k_init = jax.random.split(rng)
-        self.params = init_on_cpu(self.net.init, k_init)
+        self.params = to_default_device(init_on_cpu(self.net.init, k_init))
         self.opt, self._mask = make_srflow_optimizer(train_cfg, self.params)
-        self.opt_state = init_on_cpu(self.opt.init, self.params)
+        self.opt_state = jax.jit(self.opt.init)(self.params)
         self._step_fn = make_srflow_train_step(self.net, train_cfg, self.opt,
                                                self._mask)
         self._sampler = make_sr_sampler(self.net)

@@ -256,12 +256,19 @@ class MixLogCDFCoupling:
         return jnp.concatenate([out, x_id], axis=1), logdet
 
     def inverse(self, params, y, logdet, *, rng=None, train=False, **_):
+        from .pallas.fused_mixture_inverse import mixture_inverse
+
         x_change, x_id = split_channels(y)
         a, b, pi, mu, s = self.net.apply(params["net"], x_id, rng=rng, train=train)
         out = x_change * jnp.exp(-a) - b
         out, scale_ldj = logistic.logit_transform(out, reverse=True)
         out = jnp.clip(out, 1e-5, 1.0 - 1e-5)
-        out = logistic.mixture_inv_cdf(out, pi, mu, s)
+        # flattened (B, K, D) layout: lane-friendly reductions; fused
+        # bisection+Newton kernel on TPU (one launch instead of ~29 passes)
+        bsz, k = out.shape[0], pi.shape[1]
+        out = mixture_inverse(out.reshape(bsz, -1), pi.reshape(bsz, k, -1),
+                              mu.reshape(bsz, k, -1),
+                              s.reshape(bsz, k, -1)).reshape(x_change.shape)
         logistic_ldj = logistic.mixture_log_pdf(out, pi, mu, s)
         logdet = logdet - sum_except_batch(a + scale_ldj + logistic_ldj)
         return jnp.concatenate([out, x_id], axis=1), logdet

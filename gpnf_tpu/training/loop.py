@@ -78,7 +78,7 @@ def train(model_cfg: MarScfConfig, train_cfg: TrainConfig, *, log_fn=print):
 
     rng = jax.random.PRNGKey(train_cfg.seed)
     rng, k_init, k_ddi = jax.random.split(rng, 3)
-    params = init_on_cpu(model.init, k_init)
+    params = init_on_cpu(model.init, k_init)  # bulk-moved by the jitted ddi below
 
     # data-dependent actnorm init on a prototype batch (one jitted pass; the
     # python loop inside ddi has static structure)
@@ -95,7 +95,7 @@ def train(model_cfg: MarScfConfig, train_cfg: TrainConfig, *, log_fn=print):
                                   max(train_cfg.warm_up // train_cfg.batch_size, 1))
     opt = optax.apply_if_finite(optax.adamax(learning_rate=sched),
                                 max_consecutive_errors=100)
-    opt_state = opt.init(params)
+    opt_state = jax.jit(opt.init)(params)  # one call, not one op per leaf
 
     step_fn = make_train_step(bits_per_dim_loss(model), opt, mesh,
                               donate=train_cfg.donate)

@@ -147,7 +147,7 @@ def train_srflow(model_cfg: SRFlowConfig, train_cfg: SRTrainConfig, train_set,
     params = jax.jit(model.ddi)(params, jnp.asarray(hr0), jnp.asarray(lr0), k_ddi)
 
     opt, mask_rrdb = make_srflow_optimizer(train_cfg, params)
-    opt_state = opt.init(params)
+    opt_state = jax.jit(opt.init)(params)
     step_fn = make_srflow_train_step(model, train_cfg, opt, mask_rrdb)
     ckpt = CheckpointManager(checkpoint_dir)
 

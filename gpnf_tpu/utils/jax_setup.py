@@ -23,10 +23,34 @@ def init_on_cpu(fn, *args, **kwargs):
         return fn(*args, **kwargs)
 
 
-def setup(cache_dir: str | None = None):
+def to_default_device(tree):
+    """One bulk transfer of a CPU-initialized pytree to the default device.
+
+    Arrays committed to the CPU backend are re-transferred on EVERY jitted
+    call that consumes them (over a TPU tunnel: seconds per call). Call this
+    once after `init_on_cpu` when the params will be reused across calls
+    without flowing through a donating train step.
+    """
+    dev = jax.devices()[0]
+    return jax.device_put(tree, dev)
+
+
+def setup(cache_dir: str | None = None, prng_impl: str | None = "rbg"):
+    """Compile cache + fast PRNG.
+
+    prng_impl="rbg": dropout dominates threefry cost in the MixLogCDF nets
+    (~24% of a train step at batch 256; rbg recovers a third of it). Same
+    distributions, different stream — pass None to keep jax's default.
+    """
     cache_dir = cache_dir or os.environ.get("GPNF_JAX_CACHE", "/tmp/gpnf_jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:  # noqa: BLE001 - older jax without the flags
         pass
+    if prng_impl and os.environ.get("GPNF_PRNG", prng_impl) != "default":
+        try:
+            jax.config.update("jax_default_prng_impl",
+                              os.environ.get("GPNF_PRNG", prng_impl))
+        except Exception:  # noqa: BLE001
+            pass

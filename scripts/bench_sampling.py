@@ -13,7 +13,7 @@ sys.path.insert(0, ".")
 def main():
     import jax
 
-    from gpnf_tpu.utils.jax_setup import setup, init_on_cpu
+    from gpnf_tpu.utils.jax_setup import setup, init_on_cpu, to_default_device
     setup()
     from gpnf_tpu.models.marscf import MarScfConfig, MarScfFlow
 
@@ -22,7 +22,7 @@ def main():
                        coupling="mixlogcdf",
                        compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"))
     model = MarScfFlow(cfg)
-    params = init_on_cpu(model.init, jax.random.PRNGKey(0))
+    params = to_default_device(init_on_cpu(model.init, jax.random.PRNGKey(0)))
 
     sample = jax.jit(lambda p, r: model.sample(p, r, batch=batch, eps_std=1.0))
     rng = jax.random.PRNGKey(1)

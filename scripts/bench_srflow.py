@@ -17,7 +17,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from gpnf_tpu.utils.jax_setup import setup, init_on_cpu
+    from gpnf_tpu.utils.jax_setup import setup, init_on_cpu, to_default_device
     setup()
     from gpnf_tpu.models.srflow import SRFlowConfig, SRFlowNet
     from gpnf_tpu.training.srflow_loop import (SRTrainConfig,
@@ -35,10 +35,10 @@ def main():
         tag = "srflow_80px_K8_nb8"
 
     model = SRFlowNet(cfg)
-    params = init_on_cpu(model.init, jax.random.PRNGKey(0))
+    params = to_default_device(init_on_cpu(model.init, jax.random.PRNGKey(0)))
     tcfg = SRTrainConfig(niter=1000, batch_size=batch)
     opt, mask = make_srflow_optimizer(tcfg, params)
-    opt_state = init_on_cpu(opt.init, params)
+    opt_state = to_default_device(init_on_cpu(opt.init, params))
     step = make_srflow_train_step(model, tcfg, opt, mask)
 
     lr = jax.random.uniform(jax.random.PRNGKey(1),

@@ -28,7 +28,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from gpnf_tpu.utils.jax_setup import setup, init_on_cpu
+    from gpnf_tpu.utils.jax_setup import setup, init_on_cpu, to_default_device
     setup()
     from gpnf_tpu.models.marscf import MarScfConfig, MarScfFlow
 
@@ -37,7 +37,7 @@ def main():
                        coupling="mixlogcdf",
                        compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"))
     model = MarScfFlow(cfg)
-    params = init_on_cpu(model.init, jax.random.PRNGKey(0))
+    params = to_default_device(init_on_cpu(model.init, jax.random.PRNGKey(0)))
     rng = jax.random.PRNGKey(1)
 
     # priors
