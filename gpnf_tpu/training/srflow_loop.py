@@ -135,7 +135,7 @@ def validate(model: SRFlowNet, params, dataset, *, heats=(0.75,), rng=None,
 def train_srflow(model_cfg: SRFlowConfig, train_cfg: SRTrainConfig, train_set,
                  val_set=None, *, max_steps: Optional[int] = None,
                  checkpoint_dir: str = "./experiments/srflow/models",
-                 val_freq: int = 5000, log_fn=print):
+                 val_freq: int = 5000, resume: bool = True, log_fn=print):
     from ..utils.jax_setup import init_on_cpu
 
     model = SRFlowNet(model_cfg)
@@ -152,6 +152,13 @@ def train_srflow(model_cfg: SRFlowConfig, train_cfg: SRTrainConfig, train_set,
     ckpt = CheckpointManager(checkpoint_dir)
 
     it = 0
+    # auto-resume from the newest training state (reference `resume_state:
+    # auto`, utils/util.py:150-162 + base_model.py:145-154)
+    if resume and ckpt.latest_step() is not None:
+        it = ckpt.latest_step()
+        state = ckpt.restore({"params": params, "opt_state": opt_state})
+        params, opt_state = state["params"], state["opt_state"]
+        log_fn(f"auto-resumed from step {it}")
     total = max_steps or train_cfg.niter
     while it < total:
         for lr_img, hr_img in train_set.batches(train_cfg.batch_size):
@@ -167,9 +174,9 @@ def train_srflow(model_cfg: SRFlowConfig, train_cfg: SRTrainConfig, train_set,
                 psnrs = validate(model, params, val_set, heats=train_cfg.heats, rng=rng)
                 log_fn(f"iter {it} val PSNR: " +
                        " ".join(f"h{h}={v:.2f}" for h, v in psnrs.items()))
-                ckpt.save(it, {"params": params},
+                ckpt.save(it, {"params": params, "opt_state": opt_state},
                           metric=-max(v for v in psnrs.values()))
             if it >= total:
                 break
-    ckpt.save(it, {"params": params})
+    ckpt.save(it, {"params": params, "opt_state": opt_state})
     return model, params
