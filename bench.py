@@ -63,12 +63,16 @@ def main():
     jax.block_until_ready(loss)
     compile_s = time.time() - t_compile
 
+    # block every step: over the remote-TPU tunnel, blocking only on the
+    # final loss can report buffer-ready far earlier than real completion
     t0 = time.time()
+    losses = []
     for i in range(STEPS):
         rng, sub = jax.random.split(rng)
         params, opt_state, loss = step(params, opt_state, x, sub)
-    jax.block_until_ready(loss)
+        losses.append(float(loss))
     dt = time.time() - t0
+    assert losses[-1] != losses[0], "loss did not change; measurement invalid"
 
     img_s = BATCH * STEPS / dt
     print(json.dumps({

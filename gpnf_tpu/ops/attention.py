@@ -126,10 +126,29 @@ class InvertibleAttention:
         m2 = a[:, odd[:, None], odd[None, :]] + eye
         return m1, m2
 
+    @staticmethod
+    def _slogabsdet(m):
+        """log|det| for batched (B, n, n); closed form for the common n=2
+        (square inputs give 4 patches -> 2x2 parity blocks), LU otherwise."""
+        if m.shape[-1] == 2:
+            det = m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
+            return jnp.log(jnp.abs(det))
+        return jnp.linalg.slogdet(m)[1]
+
+    @staticmethod
+    def _solve(m, u):
+        """Batched solve m @ x = u; closed-form 2x2 (adjugate) fast path."""
+        if m.shape[-1] == 2:
+            a, b = m[..., 0, 0], m[..., 0, 1]
+            c, d = m[..., 1, 0], m[..., 1, 1]
+            det = (a * d - b * c)[:, None]
+            x0 = (d[:, None] * u[:, 0] - b[:, None] * u[:, 1]) / det
+            x1 = (-c[:, None] * u[:, 0] + a[:, None] * u[:, 1]) / det
+            return jnp.stack([x0, x1], axis=1)
+        return jnp.linalg.solve(m, u)
+
     def _ldj(self, m1, m2, d):
-        s1 = jnp.linalg.slogdet(m1)[1]
-        s2 = jnp.linalg.slogdet(m2)[1]
-        return (s1 + s2) * (d // 2)
+        return (self._slogabsdet(m1) + self._slogabsdet(m2)) * (d // 2)
 
     def forward(self, params, x, logdet, *, permute: bool = False, **_):
         p, n, d = self._geometry(x.shape)
@@ -141,14 +160,13 @@ class InvertibleAttention:
         m1, m2 = self._blocks(params, from_patches(x_masked, p, x.shape), p, n)
         logdet = logdet + self._ldj(m1, m2, d)
 
-        even = np.arange(0, n, 2)
-        odd = np.arange(1, n, 2)
         u = xp * (1.0 - mask)
-        y_even = jnp.einsum("bij,bjd->bid", m1, u[:, even],
+        y_even = jnp.einsum("bij,bjd->bid", m1, u[:, 0::2],
                             preferred_element_type=jnp.float32).astype(x.dtype)
-        y_odd = jnp.einsum("bij,bjd->bid", m2, u[:, odd],
+        y_odd = jnp.einsum("bij,bjd->bid", m2, u[:, 1::2],
                            preferred_element_type=jnp.float32).astype(x.dtype)
-        yu = jnp.zeros_like(xp).at[:, even].set(y_even).at[:, odd].set(y_odd)
+        # interleave even/odd token rows (cheap reshape; no scatter)
+        yu = jnp.stack([y_even, y_odd], axis=2).reshape(xp.shape)
         yp = yu * (1.0 - mask) + x_masked
         return from_patches(yp, p, x.shape), logdet
 
@@ -162,11 +180,9 @@ class InvertibleAttention:
         m1, m2 = self._blocks(params, from_patches(y_masked, p, y.shape), p, n)
         logdet = logdet - self._ldj(m1, m2, d)
 
-        even = np.arange(0, n, 2)
-        odd = np.arange(1, n, 2)
         u = yp * (1.0 - mask)
-        x_even = jnp.linalg.solve(m1, u[:, even]).astype(y.dtype)
-        x_odd = jnp.linalg.solve(m2, u[:, odd]).astype(y.dtype)
-        xu = jnp.zeros_like(yp).at[:, even].set(x_even).at[:, odd].set(x_odd)
+        x_even = self._solve(m1, u[:, 0::2]).astype(y.dtype)
+        x_odd = self._solve(m2, u[:, 1::2]).astype(y.dtype)
+        xu = jnp.stack([x_even, x_odd], axis=2).reshape(yp.shape)
         xp = xu * (1.0 - mask) + y_masked
         return from_patches(xp, p, y.shape), logdet
