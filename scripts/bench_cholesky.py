@@ -34,15 +34,24 @@ def main():
             impls["blocked_xla"] = jax.jit(
                 lambda m: cholesky_blocked(m, use_pallas=False))
 
+        reps = 50
+
+        def chained(fn):
+            # remote-tunnel-safe timing: data-dependent chain of `reps`
+            # factorizations inside ONE dispatch, so neither async dispatch
+            # nor per-call RTT pollutes the measurement
+            def body(_, a):
+                l = fn(a)
+                return spd + 1e-12 * l
+            return jax.jit(lambda a: jax.lax.fori_loop(0, reps, body, a))
+
         for name, fn in impls.items():
-            l = fn(spd)
-            jax.block_until_ready(l)
-            reps = 50
+            run = chained(fn)
+            jax.block_until_ready(run(spd))
             t0 = time.time()
-            for _ in range(reps):
-                l = fn(spd)
-            jax.block_until_ready(l)
+            jax.block_until_ready(run(spd))
             dt = (time.time() - t0) / reps
+            l = fn(spd)
             gflops = (n**3 / 3) / dt / 1e9
             err = float(jnp.max(jnp.abs(l @ l.T - spd))) / n
             print(json.dumps({"metric": f"cholesky_{name}_n{n}",

@@ -48,9 +48,12 @@ def main():
     rng = jax.random.PRNGKey(3)
 
     t0 = time.time()
-    params, opt_state, loss = step(params, opt_state, lr, hr, rng,
-                                   jnp.asarray(0))
-    jax.block_until_ready(loss)
+    # two warmups: the second call recompiles once (opt-state weak->strong
+    # dtype promotion after the first update)
+    for i in range(2):
+        params, opt_state, loss = step(params, opt_state, lr, hr, rng,
+                                       jnp.asarray(i))
+        jax.block_until_ready(loss)
     compile_s = time.time() - t0
 
     reps = 10
@@ -58,8 +61,8 @@ def main():
     for i in range(reps):
         rng, sub = jax.random.split(rng)
         params, opt_state, loss = step(params, opt_state, lr, hr, sub,
-                                       jnp.asarray(i))
-    jax.block_until_ready(loss)
+                                       jnp.asarray(i + 2))
+        jax.block_until_ready(loss)  # per-step: tunnel reports async early
     dt = (time.time() - t0) / reps
 
     print(json.dumps({"metric": f"{tag}_train_throughput",
