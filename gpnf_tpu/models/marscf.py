@@ -14,8 +14,8 @@ Differences from the reference, by design (SURVEY.md §2.1 "known quirks"):
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from dataclasses import dataclass
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,8 +10,8 @@ features block_{i} (92-99), with optional stackRRDB concatenation handled in
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
-from typing import Dict, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

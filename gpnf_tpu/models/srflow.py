@@ -15,8 +15,8 @@ attn2(permute). Level l (1-indexed) conditions on the RRDB pyramid entry
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
-from typing import Dict, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +25,6 @@ from ..ops.actnorm import ActNorm
 from ..ops.attention import InvertibleAttention
 from ..ops.basic import GaussianDiag, Squeeze, split_channels, sum_except_batch
 from ..ops.conv import Conv2d, Conv2dZeros, conv2d
-from ..ops.invconv import InvConv1x1
 from . import register_model
 from .rrdb import RRDBConfig, RRDBNet
 

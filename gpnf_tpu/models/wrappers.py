@@ -8,7 +8,6 @@ jitted functional train/eval steps.
 """
 from __future__ import annotations
 
-import os
 from typing import Dict, Optional
 
 import jax

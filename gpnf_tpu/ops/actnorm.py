@@ -11,7 +11,6 @@ inverse — identical to the reference (common_modules.py:167).
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -16,7 +16,7 @@ Layout: sequences are (B, T, C, *spatial), batch-first like the reference's
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

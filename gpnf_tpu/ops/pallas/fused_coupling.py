@@ -12,8 +12,6 @@ implementation and the two are tested to agree bit-tightly.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

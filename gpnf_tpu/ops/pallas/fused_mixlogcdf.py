@@ -14,8 +14,6 @@ fuses it reasonably); the forward is the hot path in both train and eval.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -16,8 +16,6 @@ so reverse-mode works through sampling (SRFlow's reverse_with_grad path).
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 
 from .attention import checkerboard
-from .basic import sum_except_batch
 
 
 class TokenInvertibleAttention:

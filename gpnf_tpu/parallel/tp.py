@@ -9,7 +9,6 @@ grads, and moments all scales down with the model axis.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

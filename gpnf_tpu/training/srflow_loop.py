@@ -13,7 +13,6 @@ train.py, models/SR_model.py):
 """
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from functools import partial
 from typing import Optional, Sequence
