@@ -58,3 +58,18 @@ def test_metrics_writer(tmp_path):
 
     lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
     assert lines[0]["tag"] == "nll" and lines[0]["step"] == 10
+
+
+def test_frame_window_indices():
+    from gpnf_tpu.data.video import clip_windows, frame_window_indices
+
+    # reflection at the start: [-2,-1,0,1,2] -> [2,1,0,1,2]
+    assert frame_window_indices(0, 9, 5) == [2, 1, 0, 1, 2]
+    # reflection at the end
+    assert frame_window_indices(9, 9, 5) == [7, 8, 9, 8, 7]
+    # interior untouched
+    assert frame_window_indices(5, 9, 5) == [3, 4, 5, 6, 7]
+    assert frame_window_indices(0, 9, 3, "replicate") == [0, 0, 1]
+    assert frame_window_indices(0, 9, 3, "circular") == [9, 0, 1]
+    w = clip_windows(6, 3)
+    assert w.shape == (6, 3)
