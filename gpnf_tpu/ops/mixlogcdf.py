@@ -122,13 +122,15 @@ class GatedAttn:
 
         q, k, v = heads(query), heads(k), heads(v)
         q = q * (c // self.num_heads) ** -0.5
-        weights = jnp.einsum("bnsd,bntd->bnst", q, k, preferred_element_type=jnp.float32)
-        weights = jax.nn.softmax(weights, axis=-1).astype(x.dtype)
-        if train and self.drop_prob > 0.0 and rng is not None:
-            keep = jax.random.bernoulli(rng, 1.0 - self.drop_prob, weights.shape)
-            weights = jnp.where(keep, weights / (1.0 - self.drop_prob), 0.0)
-        attn = jnp.einsum("bnst,bntd->bnsd", weights, v,
-                          preferred_element_type=jnp.float32).astype(x.dtype)
+        # fused kernel on TPU: scores+softmax+dropout+PV stay in VMEM — the
+        # (B, n, S, S) weights/mask never touch HBM (dominant train cost,
+        # docs/BENCHMARKS.md); jnp path elsewhere.
+        from .pallas.fused_attention import fused_attention
+
+        rate = self.drop_prob if (train and rng is not None) else 0.0
+        seed = (jax.random.randint(rng, (1,), 0, 2**30, jnp.int32)
+                if rng is not None else jnp.zeros((1,), jnp.int32))
+        attn = fused_attention(seed, q, k, v, rate, train).astype(x.dtype)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, h * w, c).reshape(b, h, w, c)
 
         gated = self.gate.apply(params["gate"], attn)
