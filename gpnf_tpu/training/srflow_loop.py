@@ -155,8 +155,11 @@ def train_srflow(model_cfg: SRFlowConfig, train_cfg: SRTrainConfig, train_set,
     # auto`, utils/util.py:150-162 + base_model.py:145-154)
     if resume and ckpt.latest_step() is not None:
         it = ckpt.latest_step()
-        state = ckpt.restore({"params": params, "opt_state": opt_state})
-        params, opt_state = state["params"], state["opt_state"]
+        try:
+            state = ckpt.restore({"params": params, "opt_state": opt_state})
+            params, opt_state = state["params"], state["opt_state"]
+        except KeyError:  # older params-only checkpoint: fresh optimizer
+            params = ckpt.restore({"params": params})["params"]
         log_fn(f"auto-resumed from step {it}")
     total = max_steps or train_cfg.niter
     while it < total:
