@@ -35,10 +35,25 @@ def _lrelu(x):
     return jax.nn.leaky_relu(x, 0.2)
 
 
+def nearest_resize(x, h_out: int, w_out: int):
+    """Nearest resize with torch F.interpolate semantics: src index =
+    floor(dst * in / out) (asymmetric origin, NOT half-pixel rounding —
+    jax.image.resize differs on downsampling). Pure gather, up or down."""
+    h_in, w_in = x.shape[2], x.shape[3]
+    rows = jnp.asarray((jnp.arange(h_out) * h_in) // h_out)
+    cols = jnp.asarray((jnp.arange(w_out) * w_in) // w_out)
+    return x[:, :, rows[:, None], cols[None, :]]
+
+
 def _resize(x, factor, method):
     b, c, h, w = x.shape
-    new = (b, c, int(round(h * factor)), int(round(w * factor)))
-    return jax.image.resize(x, new, method=method)
+    h2, w2 = int(round(h * factor)), int(round(w * factor))
+    if method == "nearest":
+        return nearest_resize(x, h2, w2)
+    # antialias=False matches torch F.interpolate(mode='bilinear',
+    # align_corners=False) downsampling (RRDBNet_arch.py:136-141); jax's
+    # default antialiased kernel does not.
+    return jax.image.resize(x, (b, c, h2, w2), method=method, antialias=False)
 
 
 @dataclass(frozen=True)
@@ -130,8 +145,11 @@ class RRDBNet:
         fea = last_lr_fea
         for i, up in enumerate(params["upconvs"]):
             fea_up = conv2d(_resize(fea, 2, "nearest"), up["w"], up["b"])
-            results[f"fea_up{2 ** (i + 1)}"] = fea_up
             fea = _lrelu(fea_up)
+            # the reference's inplace LeakyReLU (RRDBNet_arch.py:88,106-119)
+            # mutates the stored fea_upN AFTER it enters the results dict, so
+            # the flow conditions on the POST-lrelu tensor; replicated here.
+            results[f"fea_up{2 ** (i + 1)}"] = fea
         out = conv2d(_lrelu(conv2d(fea, params["hr_conv"]["w"], params["hr_conv"]["b"])),
                      params["conv_last"]["w"], params["conv_last"]["b"])
         results["out"] = out

@@ -26,7 +26,7 @@ from ..ops.attention import InvertibleAttention
 from ..ops.basic import GaussianDiag, Squeeze, split_channels, sum_except_batch
 from ..ops.conv import Conv2d, Conv2dZeros, conv2d
 from . import register_model
-from .rrdb import RRDBConfig, RRDBNet
+from .rrdb import RRDBConfig, RRDBNet, nearest_resize
 
 
 # --------------------------------------------------------------------------
@@ -211,8 +211,8 @@ class Split2dCond:
 class SRFlowStep:
     def __init__(self, in_channels: int, *, coupling: str, in_channels_rrdb: int,
                  hidden_channels: int = 64, actnorm_scale: float = 1.0,
-                 use_attention: bool = True, attn_heads: int = 3,
-                 affine_eps: float = 1e-4):
+                 use_attention: bool = True, attn_heads: int = 5,
+                 attn_score: str = "softmax", affine_eps: float = 1e-4):
         self.actnorm = ActNorm(in_channels, actnorm_scale)
         self.invconv = NonLUInvConv(in_channels)
         self.coupling_type = coupling
@@ -225,8 +225,15 @@ class SRFlowStep:
             raise ValueError(coupling)
         self.use_attention = use_attention
         if use_attention:
-            self.attn1 = InvertibleAttention(in_channels, attn_heads)
-            self.attn2 = InvertibleAttention(in_channels, attn_heads)
+            # SRFlow's fork wires the 5-head softmax transformer into every
+            # FlowStep (models/modules/transformer.py:110-116, FlowStep.py
+            # 80-81,113-114): scale 2000, diagonal offset 1.01.
+            kw = dict(offset_init=1.01, scale_init=2000.0) \
+                if attn_score == "softmax" else {}
+            self.attn1 = InvertibleAttention(in_channels, attn_heads,
+                                             score=attn_score, **kw)
+            self.attn2 = InvertibleAttention(in_channels, attn_heads,
+                                             score=attn_score, **kw)
 
     def init(self, key):
         ks = jax.random.split(key, 5)
@@ -285,7 +292,8 @@ class SRFlowConfig:
     coupling: str = "CondAffineSeparatedAndCond"
     additional_flow_no_affine: int = 2
     use_attention: bool = True
-    attn_heads: int = 3
+    attn_heads: int = 5  # SRFlow-side transformer has 5 q/k heads
+    attn_score: str = "softmax"  # models/modules/transformer.py scoring
     affine_eps: float = 1e-4
     # split options (network_G.flow.split.*)
     split_enable: bool = True
@@ -340,12 +348,14 @@ class FlowUpsamplerNet:
                     SRFlowStep(c, coupling="noCoupling", in_channels_rrdb=0,
                                hidden_channels=cfg.hidden_channels,
                                use_attention=cfg.use_attention,
-                               attn_heads=cfg.attn_heads), level))
+                               attn_heads=cfg.attn_heads,
+                               attn_score=cfg.attn_score), level))
             cond_step = SRFlowStep(c, coupling=cfg.coupling,
                                    in_channels_rrdb=n_rrdb,
                                    hidden_channels=cfg.hidden_channels,
                                    use_attention=cfg.use_attention,
                                    attn_heads=cfg.attn_heads,
+                                   attn_score=cfg.attn_score,
                                    affine_eps=cfg.affine_eps)
             if cfg.scan_steps:
                 self.structure.append(("kscan", cond_step, level))
@@ -480,7 +490,10 @@ class SRFlowNet:
             gc=cfg.rrdb_gc, scale=cfg.scale, stack_blocks=cfg.stack_blocks,
             fea_up0=(cfg.scale <= 8), fea_up_n1=(cfg.scale == 4)))
         self.flow = FlowUpsamplerNet(cfg)
-        self.num_pixels = cfg.hr_size * cfg.hr_size * 3
+        # the reference normalizes by H*W pixels, NOT C*H*W dims
+        # (thops.pixels = size(2)*size(3), SRFlowNet_arch.py:88,112): its
+        # "nll" is bits per PIXEL. Kept for metric parity.
+        self.num_pixels = cfg.hr_size * cfg.hr_size
 
     def init(self, key):
         k1, k2 = jax.random.split(key)
@@ -504,7 +517,9 @@ class SRFlowNet:
                 keys.append("fea_up16")
             for k in keys:
                 h, w = results[k].shape[2], results[k].shape[3]
-                up = jax.image.resize(concat, (*concat.shape[:2], h, w), "nearest")
+                # F.interpolate default (nearest, floor indexing) — also for
+                # DOWN-sampled keys like fea_up0 (SRFlowNet_arch.py:130-137)
+                up = nearest_resize(concat, h, w)
                 results[k] = jnp.concatenate([results[k], up], axis=1)
         return results
 

@@ -64,13 +64,20 @@ class InvertibleAttention:
 
     def __init__(self, num_channels: int, num_heads: int = 3, *,
                  offset_init: float = 0.99, offset2_init: float = 0.65,
-                 offset3_init: float = -0.6, scale_init: float = 100.0):
+                 offset3_init: float = -0.6, scale_init: float = 100.0,
+                 score: str = "sigmoid"):
         self.nc = num_channels
         self.num_heads = num_heads
         self.offset_init = offset_init
         self.offset2_init = offset2_init
         self.offset3_init = offset3_init
         self.scale_init = scale_init
+        # "sigmoid": A = sigmoid(S + offset2) + offset3 (flow_modules/
+        # transformer.py:176-179). "softmax": A = softmax(S) row-normalized
+        # over ALL patches before parity masking (transformer_x3.py:176-179
+        # and the SRFlow-side models/modules/transformer.py, 5 heads).
+        assert score in ("sigmoid", "softmax"), score
+        self.score = score
 
     def init(self, key):
         ks = jax.random.split(key, 2 * self.num_heads)
@@ -118,7 +125,13 @@ class InvertibleAttention:
         qp, kp = head_patches(q), head_patches(k)
         scores = jnp.einsum("bhnd,bhmd->bnm", qp, kp,
                             preferred_element_type=jnp.float32) / params["scale"][0]
-        a = jax.nn.sigmoid(scores + params["offset2"][0]) + params["offset3"][0]
+        if self.score == "softmax":
+            # normalized over every patch (incl. the off-parity columns that
+            # the checkerboard mask then zeroes) — reference keeps them in
+            # the denominator.
+            a = jax.nn.softmax(scores, axis=-1)
+        else:
+            a = jax.nn.sigmoid(scores + params["offset2"][0]) + params["offset3"][0]
         even = np.arange(0, n, 2)
         odd = np.arange(1, n, 2)
         eye = jnp.eye(n // 2, dtype=a.dtype) * params["offset"][0]

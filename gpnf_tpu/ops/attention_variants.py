@@ -25,14 +25,18 @@ EPS = 1e-6
 def make_transformer_variant(num_channels: int, variant: str) -> InvertibleAttention:
     """Presets matching the reference ablation files.
 
-    'sdp_3h' = ACTIVE config (transformer.py); 'x3' = sigmoid score without
-    offsets, scale 2000 (transformer_x3.py:116,176-179); 'x5'/'x7'/'8' =
-    5/7/8 q,k heads (transformer_x5/x7/_8.py).
+    'sdp_3h' = ACTIVE config (transformer.py); 'x3' = 3-head SOFTMAX score,
+    scale 2000, diag offset 1.01 (transformer_x3.py:110-116,176-179);
+    'srflow' = the SRFlow-side 5-head softmax variant
+    (models/modules/transformer.py:110-116,137-152); 'x5'/'x7'/'8' = 5/7/8
+    sigmoid q,k heads (transformer_x5/x7/_8.py).
     """
     presets = {
         "sdp_3h": dict(num_heads=3),
-        "x3": dict(num_heads=3, offset2_init=0.0, offset3_init=0.0,
+        "x3": dict(num_heads=3, score="softmax", offset_init=1.01,
                    scale_init=2000.0),
+        "srflow": dict(num_heads=5, score="softmax", offset_init=1.01,
+                       scale_init=2000.0),
         "x5": dict(num_heads=5),
         "x7": dict(num_heads=7),
         "8": dict(num_heads=8),

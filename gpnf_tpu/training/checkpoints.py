@@ -38,7 +38,15 @@ def _unflatten_into(template, flat, prefix=""):
         if hasattr(template, "_fields"):  # NamedTuple (optax states)
             return type(template)(*seq)
         return type(template)(seq) if isinstance(template, tuple) else seq
-    return flat[prefix[:-1]]
+    key = prefix[:-1]
+    value = flat[key]
+    t_shape = getattr(template, "shape", None)
+    if t_shape is not None and tuple(value.shape) != tuple(t_shape):
+        raise ValueError(
+            f"checkpoint leaf '{key}' has shape {tuple(value.shape)} but the "
+            f"model expects {tuple(t_shape)} — stale checkpoint for a "
+            f"different architecture?")
+    return value
 
 
 class CheckpointManager:

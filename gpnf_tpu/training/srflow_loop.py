@@ -112,21 +112,29 @@ def make_sr_sampler(model: SRFlowNet):
 
 
 def validate(model: SRFlowNet, params, dataset, *, heats=(0.75,), rng=None,
-             max_items: int = 8):
-    """Mean PSNR per heat over up to max_items val pairs (train.py:241-268)."""
+             max_items: Optional[int] = None, batch: int = 8):
+    """Mean PSNR per heat over the (whole, by default) val set, sampling in
+    batches per heat rather than image-by-image (train.py:227-303 walks the
+    full val set; the batch-1-per-image pattern was a round-1 smoke-test
+    shortcut)."""
     rng = jax.random.PRNGKey(0) if rng is None else rng
     sampler = make_sr_sampler(model)
+    pairs = []
+    for lr_img, hr_img in dataset.batches(1, shuffle=False):
+        pairs.append((lr_img[0], hr_img[0]))
+        if max_items is not None and len(pairs) >= max_items:
+            break
     out = {}
     for heat in heats:
         vals = []
-        for i, (lr_img, hr_img) in enumerate(dataset.batches(1, shuffle=False)):
-            if i >= max_items:
-                break
+        for c0 in range(0, len(pairs), batch):
+            chunk = pairs[c0 : c0 + batch]
+            lr_b = jnp.asarray(np.stack([p[0] for p in chunk]))
             rng, sub = jax.random.split(rng)
-            sr = sampler(params, jnp.asarray(lr_img), sub, float(heat))
-            sr_img = np.clip(np.asarray(sr)[0].transpose(1, 2, 0), 0, 1) * 255
-            gt_img = hr_img[0].transpose(1, 2, 0) * 255
-            vals.append(psnr(sr_img, gt_img))
+            sr_b = np.asarray(sampler(params, lr_b, sub, float(heat)))
+            for j, (_, hr_img) in enumerate(chunk):
+                sr_img = np.clip(sr_b[j].transpose(1, 2, 0), 0, 1) * 255
+                vals.append(psnr(sr_img, hr_img.transpose(1, 2, 0) * 255))
         out[heat] = float(np.mean(vals)) if vals else float("nan")
     return out
 
@@ -156,11 +164,16 @@ def train_srflow(model_cfg: SRFlowConfig, train_cfg: SRTrainConfig, train_set,
     if resume and ckpt.latest_step() is not None:
         it = ckpt.latest_step()
         try:
-            state = ckpt.restore({"params": params, "opt_state": opt_state})
-            params, opt_state = state["params"], state["opt_state"]
-        except KeyError:  # older params-only checkpoint: fresh optimizer
-            params = ckpt.restore({"params": params})["params"]
-        log_fn(f"auto-resumed from step {it}")
+            try:
+                state = ckpt.restore({"params": params, "opt_state": opt_state})
+                params, opt_state = state["params"], state["opt_state"]
+            except KeyError:  # older params-only checkpoint: fresh optimizer
+                params = ckpt.restore({"params": params})["params"]
+            log_fn(f"auto-resumed from step {it}")
+        except ValueError as e:  # shape mismatch: stale architecture
+            log_fn(f"WARNING: ignoring incompatible checkpoint ({e}); "
+                   "training from scratch")
+            it = 0
     total = max_steps or train_cfg.niter
     while it < total:
         for lr_img, hr_img in train_set.batches(train_cfg.batch_size):
