@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.pallas.cholesky import cholesky_blocked
+from ..ops.pallas.trisolve import tril_solve
 from . import register_model
 
 LOG2PI = math.log(2.0 * math.pi)
@@ -111,6 +112,12 @@ class GPRegression:
         l = cholesky_blocked(k, use_pallas=self.cfg.use_pallas_cholesky)
         return l
 
+    def _solve(self, l, b, *, trans=False):
+        # blocked Pallas/XLA solve — XLA's native triangular_solve is a
+        # scalar while-loop on TPU (~27ms at n=512; ops/pallas/trisolve.py)
+        return tril_solve(l, b, trans=trans,
+                          use_pallas=self.cfg.use_pallas_cholesky)
+
     def neg_log_marginal_likelihood(self, params, x, y):
         """-log p(y | X) / N. y: (N,) or (N, P) independent outputs."""
         # full fp32 matmul passes: TPU's default bf16 passes destroy the
@@ -119,7 +126,7 @@ class GPRegression:
             y2d = y[:, None] if y.ndim == 1 else y
             n, p = y2d.shape
             l = self._factorize(params, x)
-            a = jax.scipy.linalg.solve_triangular(l, y2d, lower=True)
+            a = self._solve(l, y2d)
             quad = jnp.sum(a * a)
             logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(l)))
             mll = -0.5 * quad - 0.5 * p * logdet - 0.5 * n * p * LOG2PI
@@ -131,9 +138,9 @@ class GPRegression:
             y2d = y_train[:, None] if y_train.ndim == 1 else y_train
             l = self._factorize(params, x_train)
             k_star = self.gram(params, x_train, x_test)  # (N, M)
-            alpha = jax.scipy.linalg.cho_solve((l, True), y2d)
+            alpha = self._solve(l, self._solve(l, y2d), trans=True)
             mean = k_star.T @ alpha
-            v = jax.scipy.linalg.solve_triangular(l, k_star, lower=True)
+            v = self._solve(l, k_star)
             ls, var, noise = self._hyper(params)
             k_ss = var  # stationary kernels: k(x,x) = variance
             post_var = jnp.maximum(k_ss - jnp.sum(v * v, axis=0), 1e-12) + noise

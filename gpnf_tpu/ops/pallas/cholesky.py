@@ -6,19 +6,28 @@ Pallas linear algebra".
 
 Design: the whole SPD matrix lives in VMEM for one kernel invocation
 (N <= ~1024 fp32 comfortably fits the ~16MB budget); a static Python loop
-walks block columns:
-  1. 128x128 diagonal block factorized by an in-register right-looking
-     unblocked Cholesky (fori_loop of rank-1 VPU updates);
-  2. the block-column panel is formed as A21 @ inv(L11)^T where inv(L11)
-     comes from an in-register forward substitution — one MXU matmul instead
-     of 128 sequential column solves;
-  3. the trailing Schur update A22 -= L21 @ L21^T runs on the MXU, where
+walks block columns of width BLK:
+  1. the full (m, BLK) PANEL (diagonal block + everything below) is
+     factorized by a right-looking scalar loop of rank-1 VPU updates — the
+     classic LAPACK panel step. Doing the panel in one loop removes the
+     separate triangular inverse + MXU panel solve an earlier version used
+     (two sequential O(BLK) loops and per-iteration MXU matvecs made it
+     2.5x slower than XLA's native cholesky);
+  2. the trailing Schur update A22 -= L21 @ L21^T runs on the MXU, where
      ~all the FLOPs are.
 No HBM round trips between steps — XLA's own cholesky materializes
 intermediate panels; this kernel keeps everything resident.
 
-For larger N (or on CPU test backends) `cholesky_blocked` falls back to the
-same blocked algorithm expressed in plain XLA ops.
+All value selection inside the scalar loop uses iota masks + reductions
+(pure VPU); Mosaic does not lower value-level dynamic_slice with traced
+indices.
+
+Differentiation: `cholesky_blocked` carries the standard two-triangular-solve
+custom VJP, matching jax's native cholesky gradient, so the factorization can
+sit in the GP marginal-likelihood autodiff path on any backend.
+
+For CPU test backends `cholesky_blocked` falls back to the same blocked
+algorithm expressed in plain XLA ops.
 """
 from __future__ import annotations
 
@@ -35,70 +44,35 @@ def _dot(x, y):
                    precision=jax.lax.Precision.HIGHEST)
 
 
-def _unblocked_cholesky(a):
-    """Right-looking Cholesky of a (b, b) SPD block, in registers.
+def _panel_cholesky(p):
+    """Right-looking factorization of an (m, b) block-column panel whose top
+    b x b block is the (symmetric) diagonal block.
 
-    Mosaic-compatible: no value indexing with traced loop indices — element
-    selection is done with one-hot masks and (b,1) matvecs, which lower to
-    VPU selects and MXU ops inside Pallas kernels.
+    Column k of the result is the k-th Cholesky column restricted to the
+    panel; entries above the global diagonal are zeroed by the caller's mask.
+    One rank-1 VPU update per column; no MXU ops, no triangular inverse.
     """
-    b = a.shape[0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
-    ridx = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)
-
-    def body(k, carry):
-        a_cur, l_acc = carry
-        onehot = (ridx == k).astype(a.dtype)  # (b, 1) e_k
-        col_k = _dot(a_cur, onehot)  # (b, 1) = a[:, k]
-        akk = jnp.sum(col_k * onehot)
-        pivot = jnp.sqrt(akk)
-        col = jnp.where(ridx > k, col_k / pivot, 0.0)
-        low = col  # strictly-below-diagonal part
-        col = col + onehot * pivot
-        a_cur = jnp.where(jnp.logical_and(rows > k, cols > k),
-                          a_cur - _dot(low, low.T), a_cur)
-        l_acc = l_acc + _dot(col, onehot.T)  # write column k
-        return a_cur, l_acc
-
-    _, l = jax.lax.fori_loop(0, b, body, (a, jnp.zeros_like(a)))
-    return l
-
-
-def _tril_inverse(l):
-    """inv(L) for lower-triangular (b, b) L via row-wise forward substitution
-    (same Mosaic-compatible one-hot formulation)."""
-    b = l.shape[0]
-    ridx = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)
+    m, b = p.shape
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
     cidx = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
 
-    def body(k, x):
-        onehot = (ridx == k).astype(l.dtype)  # (b, 1)
-        l_row = _dot(onehot.T, l)  # (1, b) = L[k, :]
-        lkk = jnp.sum(l_row * onehot.T)
-        lk = jnp.where(cidx < k, l_row, 0.0)
-        row = (onehot.T - _dot(lk, x)) / lkk  # (1, b)
-        return x + _dot(onehot, row)  # write row k
+    def body(k, p):
+        colmask = cidx == k  # (1, b)
+        col = jnp.sum(jnp.where(colmask, p, 0.0), axis=1, keepdims=True)  # (m,1)
+        akk = jnp.sum(jnp.where(ridx == k, col, 0.0))
+        pivot = jnp.sqrt(akk)
+        inv = 1.0 / pivot
+        col_l = jnp.where(ridx > k, col * inv, 0.0)  # strictly below diag row
+        # row k of the (still symmetric) top block, scaled: the L^T row used
+        # by the rank-1 update. Extracted by reduction — the top b x b block
+        # stays symmetric under these symmetric rank-1 updates.
+        rowk = jnp.sum(jnp.where(ridx == k, p, 0.0), axis=0, keepdims=True)
+        row_l = jnp.where(cidx > k, rowk * inv, 0.0)  # (1, b)
+        p = p - col_l * row_l  # rank-1; zero outside (rows>k, cols>k)
+        lcol = col_l + jnp.where(ridx == k, pivot, 0.0)
+        return jnp.where(colmask, lcol, p)
 
-    return jax.lax.fori_loop(0, b, body, jnp.zeros_like(l))
-
-
-def _blocked_cholesky_body(a, n, blk, *, dot):
-    """Shared blocked algorithm; `dot` supplies the matmul primitive."""
-    nb = n // blk
-    for j in range(nb):
-        s = j * blk
-        d = _unblocked_cholesky(a[s : s + blk, s : s + blk])
-        a = jax.lax.dynamic_update_slice(a, d, (s, s))
-        if j < nb - 1:
-            d_inv = _tril_inverse(d)
-            a21 = a[s + blk :, s : s + blk]
-            l21 = dot(a21, d_inv.T)
-            a = jax.lax.dynamic_update_slice(a, l21, (s + blk, s))
-            a22 = a[s + blk :, s + blk :]
-            a22 = a22 - dot(l21, l21.T)
-            a = jax.lax.dynamic_update_slice(a, a22, (s + blk, s + blk))
-    return a
+    return jax.lax.fori_loop(0, b, body, p)
 
 
 def _mask_lower(a):
@@ -106,6 +80,13 @@ def _mask_lower(a):
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     return jnp.where(rows >= cols, a, 0.0)
+
+
+def _panel_mask(m, b, dtype):
+    """(m, b) mask keeping on/below the diagonal of the top b x b block."""
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (m, b), 0)
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (m, b), 1)
+    return (ridx >= cidx).astype(dtype)
 
 
 def _chol_kernel(a_ref, out_ref):
@@ -117,13 +98,11 @@ def _chol_kernel(a_ref, out_ref):
     out_ref[:] = a_ref[:]
     for j in range(nb):
         s = j * BLK
-        d = _unblocked_cholesky(out_ref[s : s + BLK, s : s + BLK])
-        out_ref[s : s + BLK, s : s + BLK] = d
+        panel = _panel_cholesky(out_ref[s:, s : s + BLK])
+        panel = panel * _panel_mask(n - s, BLK, panel.dtype)
+        out_ref[s:, s : s + BLK] = panel
         if j < nb - 1:
-            d_inv = _tril_inverse(d)
-            a21 = out_ref[s + BLK :, s : s + BLK]
-            l21 = _dot(a21, d_inv.T)
-            out_ref[s + BLK :, s : s + BLK] = l21
+            l21 = panel[BLK:]
             a22 = out_ref[s + BLK :, s + BLK :]
             out_ref[s + BLK :, s + BLK :] = a22 - _dot(l21, l21.T)
     out_ref[:] = _mask_lower(out_ref[:])
@@ -152,11 +131,72 @@ def pallas_cholesky(a: jax.Array) -> jax.Array:
     )(a)
 
 
+def _blocked_cholesky_xla(a):
+    """Same blocked panel algorithm in plain XLA ops (CPU fallback)."""
+    n = a.shape[0]
+    nb = n // BLK
+    for j in range(nb):
+        s = j * BLK
+        panel = _panel_cholesky(jax.lax.dynamic_slice(
+            a, (s, s), (n - s, BLK)))
+        panel = panel * _panel_mask(n - s, BLK, panel.dtype)
+        a = jax.lax.dynamic_update_slice(a, panel, (s, s))
+        if j < nb - 1:
+            l21 = panel[BLK:]
+            a22 = a[s + BLK :, s + BLK :]
+            a = jax.lax.dynamic_update_slice(a, a22 - _dot(l21, l21.T),
+                                             (s + BLK, s + BLK))
+    return _mask_lower(a)
+
+
+def _phi(x):
+    """tril with halved diagonal — the Cholesky-VJP projection."""
+    return jnp.tril(x) - 0.5 * jnp.diag(jnp.diagonal(x))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _chol_core(a, kind: str):
+    if kind == "pallas":
+        return pallas_cholesky(a)
+    if kind == "native":
+        return jnp.linalg.cholesky(a)
+    return _blocked_cholesky_xla(a)
+
+
+def _chol_fwd(a, kind):
+    l = _chol_core(a, kind)
+    return l, l
+
+
+def _chol_bwd(kind, l, l_bar):
+    """Standard Cholesky reverse rule (two triangular solves):
+    A_bar = L^{-T} . phi(L^T L_bar) . L^{-1}, symmetrized the same way
+    jax.lax.linalg.cholesky's own rule is (so grads through either
+    implementation agree)."""
+    del kind
+    solve = partial(jax.scipy.linalg.solve_triangular, lower=True)
+    w = _phi(jnp.matmul(l.T, l_bar, precision=jax.lax.Precision.HIGHEST))
+    # t = L^{-T} w ; a_bar = t L^{-1} = (L^{-T} t^T)^T
+    t = solve(l, w, trans="T")
+    a_bar = solve(l, t.T, trans="T").T
+    a_bar = 0.5 * (a_bar + a_bar.T)
+    return (a_bar,)
+
+
+_chol_core.defvjp(_chol_fwd, _chol_bwd)
+
+
 def cholesky_blocked(a: jax.Array, *, use_pallas: bool | None = None) -> jax.Array:
     """Blocked Cholesky with automatic padding and backend dispatch.
 
-    use_pallas: None = auto (TPU and N <= 1024 -> Pallas kernel; otherwise
-    the identical blocked algorithm in plain XLA ops).
+    use_pallas: True forces the fused Pallas kernel; None = auto picks the
+    fastest measured option per backend — XLA's NATIVE cholesky on TPU (the
+    Pallas kernel's sequential pivot chain is still ~1.9x slower at n=1024,
+    docs/BENCHMARKS.md; the GP pipeline's real bottleneck, the triangular
+    SOLVE, is the Pallas win — see ops/pallas/trisolve.py) and the blocked
+    jnp algorithm on CPU. Every path carries the two-triangular-solve custom
+    VJP, so `gp.fit` differentiates through the factorization with O(n^3)
+    solves instead of unrolled-loop autodiff.
     """
     n = a.shape[-1]
     pad = (-n) % BLK
@@ -165,14 +205,12 @@ def cholesky_blocked(a: jax.Array, *, use_pallas: bool | None = None) -> jax.Arr
         a_p = a_p.at[:n, :n].set(a)
         a_p = a_p.at[jnp.arange(n, n + pad), jnp.arange(n, n + pad)].set(1.0)
         a = a_p
-    m = a.shape[-1]
 
-    if use_pallas is None:
-        use_pallas = (jax.default_backend() == "tpu") and m <= 1024
     if use_pallas:
-        l = pallas_cholesky(a)
-    elif m <= BLK:
-        l = _mask_lower(_unblocked_cholesky(a))
+        kind = "pallas"
+    elif jax.default_backend() == "tpu":
+        kind = "native"
     else:
-        l = _mask_lower(_blocked_cholesky_body(a, m, BLK, dot=_dot))
+        kind = "xla"
+    l = _chol_core(a, kind)
     return l[:n, :n] if pad else l

@@ -113,3 +113,83 @@ def test_flow_gp_composition():
     assert np.isfinite(float(nlml))
     mean, var = fgp.posterior(params, flow_params, x, y, x[:4])
     assert mean.shape == (4,) and np.all(np.isfinite(np.asarray(mean)))
+
+
+def test_cholesky_custom_vjp_matches_native():
+    """The two-solve VJP (ops/pallas/cholesky.py:_chol_bwd) must agree with
+    jax's native cholesky gradient — on a padded, multi-block size."""
+    a = _spd(160, seed=4)
+
+    def f_mine(m):
+        return jnp.sum(jnp.sin(cholesky_blocked(m)))
+
+    def f_native(m):
+        return jnp.sum(jnp.sin(jnp.linalg.cholesky(m)))
+
+    g_mine = np.asarray(jax.grad(f_mine)(jnp.asarray(a)))
+    g_native = np.asarray(jax.grad(f_native)(jnp.asarray(a)))
+    np.testing.assert_allclose(g_mine, g_native, rtol=2e-3, atol=2e-4)
+
+
+def test_gp_fit_default_path_differentiates():
+    """gp.fit with the DEFAULT config (use_pallas_cholesky=None) must train —
+    VERDICT.md round-1 item 3(b): the factorization sits in the autodiff path."""
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-2, 2, (48, 2)).astype(np.float32)
+    y = np.sin(x[:, 0]) * np.cos(x[:, 1])
+
+    gp = GPRegression(GPConfig(), input_dim=2)
+    params = gp.init(KEY)
+    nlml0 = float(gp.neg_log_marginal_likelihood(params, jnp.asarray(x), jnp.asarray(y)))
+    params, loss = gp.fit(params, jnp.asarray(x), jnp.asarray(y), steps=40)
+    assert np.isfinite(loss) and loss < nlml0
+
+
+def test_tril_solve_matches_scipy():
+    """Blocked Newton-inverse triangular solve vs reference (padded size)."""
+    from gpnf_tpu.ops.pallas.trisolve import tril_solve
+
+    rng = np.random.default_rng(7)
+    n = 200  # pads to 256: exercises padding + 2-block substitution
+    l = np.tril(rng.standard_normal((n, n)).astype(np.float32) * 0.1)
+    np.fill_diagonal(l, rng.uniform(1.0, 2.0, n).astype(np.float32))
+    b = rng.standard_normal((n, 5)).astype(np.float32)
+
+    import scipy.linalg as sla
+
+    for trans in (False, True):
+        x = np.asarray(tril_solve(jnp.asarray(l), jnp.asarray(b), trans=trans))
+        ref = sla.solve_triangular(l.astype(np.float64), b, lower=True,
+                                   trans="T" if trans else "N")
+        np.testing.assert_allclose(x, ref, rtol=2e-4, atol=2e-5)
+
+    # vector rhs
+    xv = np.asarray(tril_solve(jnp.asarray(l), jnp.asarray(b[:, 0])))
+    ref = sla.solve_triangular(l.astype(np.float64), b[:, 0], lower=True)
+    np.testing.assert_allclose(xv, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_tril_solve_vjp_matches_native():
+    from gpnf_tpu.ops.pallas.trisolve import tril_solve
+
+    rng = np.random.default_rng(8)
+    n = 96
+    l = np.tril(rng.standard_normal((n, n)).astype(np.float32) * 0.1)
+    np.fill_diagonal(l, rng.uniform(1.0, 2.0, n).astype(np.float32))
+    b = rng.standard_normal((n, 3)).astype(np.float32)
+
+    for trans in (False, True):
+        def f_mine(lm, bm):
+            return jnp.sum(jnp.sin(tril_solve(lm, bm, trans=trans)))
+
+        def f_native(lm, bm):
+            return jnp.sum(jnp.sin(jax.scipy.linalg.solve_triangular(
+                lm, bm, lower=True, trans="T" if trans else "N")))
+
+        gl, gb = jax.grad(f_mine, argnums=(0, 1))(jnp.asarray(l), jnp.asarray(b))
+        gl_n, gb_n = jax.grad(f_native, argnums=(0, 1))(jnp.asarray(l),
+                                                        jnp.asarray(b))
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(gb_n),
+                                   rtol=2e-3, atol=1e-4)
+        np.testing.assert_allclose(np.tril(np.asarray(gl)), np.asarray(gl_n),
+                                   rtol=2e-3, atol=1e-4)
