@@ -156,6 +156,37 @@ def _load_imagenet_npz(root: str, size: int):
     return np.concatenate([read(f) for f in train_files]), read(val)
 
 
+def _load_imagefolder(root: str, size: int):
+    """ImageFolder-style directory reader (reference utils.py:49-76 uses
+    torchvision.ImageFolder on downsampled-ImageNet directories): recursively
+    reads `<root>/train/**.png` and `<root>/val/**.png` (class subdirs
+    allowed and ignored — density modeling is unconditional). PNG decoding
+    uses the built-in codec (no PIL in this environment)."""
+    import glob
+
+    from ..utils.png import read_png
+
+    def read_split(split):
+        paths = sorted(glob.glob(os.path.join(root, split, "**", "*.png"),
+                                 recursive=True))
+        if not paths:
+            return None
+        imgs = []
+        for p in paths:
+            img = read_png(p)  # (H, W, C) uint8
+            if img.shape[:2] != (size, size):
+                raise ValueError(f"{p}: expected {size}x{size}, got {img.shape}")
+            if img.ndim == 2:
+                img = np.repeat(img[..., None], 3, axis=-1)
+            imgs.append(np.transpose(img, (2, 0, 1)))
+        return np.stack(imgs).astype(np.uint8)
+
+    train, val = read_split("train"), read_split("val")
+    if train is None or val is None:
+        return None
+    return train, val
+
+
 def _synthetic(size: int, n_train: int = 2048, n_test: int = 512, seed: int = 7):
     """Deterministic structured images (smooth gradients + texture)."""
     rng = np.random.default_rng(seed)
@@ -187,10 +218,10 @@ def get_dataset(name: str, batch_size: int, data_root: Optional[str] = None,
         loaded = _load_mnist(root)
         size = 32
     elif name == "imagenet_32":
-        loaded = _load_imagenet_npz(root, 32)
+        loaded = _load_imagenet_npz(root, 32) or _load_imagefolder(root, 32)
         size = 32
     elif name == "imagenet_64":
-        loaded = _load_imagenet_npz(root, 64)
+        loaded = _load_imagenet_npz(root, 64) or _load_imagefolder(root, 64)
         size = 64
     else:
         size = 32

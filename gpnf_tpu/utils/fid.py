@@ -56,3 +56,64 @@ def pixel_embed(images: np.ndarray, downsample: int = 4) -> np.ndarray:
         n, c, h // downsample, downsample, w // downsample, downsample
     ).mean((3, 5))
     return x.reshape(n, -1)
+
+
+class RandomFeatureEmbedder:
+    """Fixed-seed random CNN embedder (the in-env stand-in for InceptionV3).
+
+    Inception weights cannot be fetched in this zero-egress image, so this
+    provides a *deterministic* untrained conv feature extractor: 4 stages of
+    (3x3 conv, leaky-relu, 2x2 avg-pool), concatenating each stage's global
+    average pool. Random-CNN Fréchet distances are known to correlate well
+    with Inception-FID for ranking models, but the absolute numbers are NOT
+    comparable to published FID values — report them as `fid_rf`.
+
+    Deterministic: weights derive from PRNGKey(seed) only, so numbers are
+    reproducible across runs/machines.
+    """
+
+    def __init__(self, seed: int = 0, widths=(64, 128, 256, 256)):
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.conv import conv2d
+
+        key = jax.random.PRNGKey(seed)
+        ws = []
+        c_in = 3
+        for w_out in widths:
+            key, k = jax.random.split(key)
+            std = float(np.sqrt(2.0 / (c_in * 9)))
+            ws.append(jax.random.normal(k, (w_out, c_in, 3, 3)) * std)
+            c_in = w_out
+        self._weights = ws
+        self.dim = sum(widths)
+
+        def embed(x):  # x: (N, 3, H, W) float in [0, 1]
+            x = x * 2.0 - 1.0
+            feats = []
+            for w in ws:
+                x = jax.nn.leaky_relu(conv2d(x, w), 0.2)
+                feats.append(jnp.mean(x, axis=(2, 3)))
+                x = jax.lax.reduce_window(
+                    x, 0.0, jax.lax.add, (1, 1, 2, 2), (1, 1, 2, 2), "VALID"
+                ) * 0.25
+            return jnp.concatenate(feats, axis=-1)
+
+        self._embed = jax.jit(embed)
+
+    def __call__(self, images: np.ndarray) -> np.ndarray:
+        """images: (N, C, H, W) uint8 or float. Returns (N, D) float64."""
+        x = np.asarray(images)
+        if x.dtype == np.uint8:
+            x = x.astype(np.float32) / 255.0
+        if x.shape[1] == 1:
+            x = np.repeat(x, 3, axis=1)
+        return np.asarray(self._embed(x)).astype(np.float64)
+
+
+def fid_rf(real_batches: Iterable[np.ndarray],
+           fake_batches: Iterable[np.ndarray], *, seed: int = 0) -> float:
+    """Random-feature FID between two image sets (see RandomFeatureEmbedder)."""
+    return fid_between(RandomFeatureEmbedder(seed=seed), real_batches,
+                       fake_batches)

@@ -58,11 +58,45 @@ def ssim(a: np.ndarray, b: np.ndarray, data_range: float = 255.0) -> float:
     return float(np.mean(s))
 
 
+def lpips_rf(a: np.ndarray, b: np.ndarray) -> float:
+    """Random-feature perceptual distance — the in-env LPIPS stand-in.
+
+    Mean squared distance between unit-normalized multi-stage random-CNN
+    feature maps (same fixed-seed embedder family as utils/fid.py), the
+    LPIPS recipe with untrained weights. Correlates with perceptual
+    distance for ranking; absolute values are NOT comparable to published
+    AlexNet-LPIPS numbers — report as `lpips_rf`.
+    """
+    from .fid import RandomFeatureEmbedder
+
+    emb = getattr(lpips_rf, "_emb", None)
+    if emb is None:
+        emb = RandomFeatureEmbedder(seed=0)
+        lpips_rf._emb = emb
+
+    def prep(x):
+        x = np.asarray(x, np.float32)
+        if x.ndim == 2:
+            x = x[..., None]
+        if x.shape[-1] == 1:
+            x = np.repeat(x, 3, axis=-1)
+        if x.max() > 1.5:
+            x = x / 255.0
+        return np.transpose(x, (2, 0, 1))[None]
+
+    fa = emb(prep(a))[0]
+    fb = emb(prep(b))[0]
+    fa = fa / (np.linalg.norm(fa) + 1e-10)
+    fb = fb / (np.linalg.norm(fb) + 1e-10)
+    return float(np.sum((fa - fb) ** 2))
+
+
 def lpips_distance(a: np.ndarray, b: np.ndarray):
     """LPIPS (AlexNet) if the optional `lpips` package is present, else None.
 
     The environment has no lpips wheel; callers treat None as 'unavailable'
-    and the CSV reports it as such (Measure.py uses lpips alexnet).
+    and the CSV reports it as such (Measure.py uses lpips alexnet). For an
+    in-env perceptual metric use `lpips_rf` / Measure(lpips_substitute=True).
     """
     try:
         import lpips  # type: ignore
@@ -83,11 +117,20 @@ def lpips_distance(a: np.ndarray, b: np.ndarray):
 
 
 class Measure:
-    """PSNR/SSIM/LPIPS triple like the reference Measure.py."""
+    """PSNR/SSIM/LPIPS triple like the reference Measure.py.
+
+    lpips_substitute=True reports the random-feature perceptual distance
+    (`lpips_rf`) when the real lpips package is absent, instead of None.
+    """
+
+    def __init__(self, lpips_substitute: bool = False):
+        self.lpips_substitute = lpips_substitute
 
     def measure(self, img_a: np.ndarray, img_b: np.ndarray):
-        return (psnr(img_a, img_b), ssim(img_a, img_b),
-                lpips_distance(img_a, img_b))
+        lp = lpips_distance(img_a, img_b)
+        if lp is None and self.lpips_substitute:
+            lp = lpips_rf(img_a, img_b)
+        return psnr(img_a, img_b), ssim(img_a, img_b), lp
 
 
 def lr_consistency_psnr(sr: np.ndarray, lr: np.ndarray, scale: int) -> float:

@@ -14,9 +14,36 @@ from gpnf_tpu.utils.metrics import Measure
 def load_image(path):
     if path.endswith(".npy"):
         return np.load(path)
-    from prepare_data import read_png
+    from gpnf_tpu.utils.png import read_png
 
     return read_png(path)
+
+
+def _to_nchw(img):
+    """HWC (or HW) uint8/float -> (1, 3, H, W) float in [0, 1]."""
+    x = np.asarray(img)
+    if x.ndim == 2:
+        x = x[..., None]
+    if x.shape[-1] == 1:
+        x = np.repeat(x, 3, axis=-1)
+    if x.dtype == np.uint8 or x.max() > 1.5:
+        x = x.astype(np.float32) / 255.0
+    return np.transpose(x, (2, 0, 1))[None].astype(np.float32)
+
+
+def compute_fid(a_paths, b_paths, batch: int = 64, seed: int = 0) -> float:
+    """Random-feature FID between two image directories (unpaired; the
+    in-env stand-in for the reference's Inception FID, Measure.py + README
+    FID=33.6 — absolute values not comparable, see utils/fid.py)."""
+    from gpnf_tpu.utils.fid import RandomFeatureEmbedder, fid_between
+
+    def batches(paths):
+        for i in range(0, len(paths), batch):
+            yield np.concatenate([_to_nchw(load_image(p))
+                                  for p in paths[i : i + batch]], axis=0)
+
+    return fid_between(RandomFeatureEmbedder(seed=seed),
+                       batches(a_paths), batches(b_paths))
 
 
 def main():
@@ -24,11 +51,16 @@ def main():
     p.add_argument("dir_a")
     p.add_argument("dir_b")
     p.add_argument("--ext", default="png")
+    p.add_argument("--fid", action="store_true",
+                   help="also print random-feature FID between the two dirs")
     args = p.parse_args()
 
     a_paths = sorted(glob.glob(os.path.join(args.dir_a, f"*.{args.ext}")))
     b_paths = sorted(glob.glob(os.path.join(args.dir_b, f"*.{args.ext}")))
     assert a_paths and len(a_paths) == len(b_paths), (len(a_paths), len(b_paths))
+
+    if args.fid:
+        print(f"fid_rf: {compute_fid(a_paths, b_paths):.4f}")
 
     m = Measure()
     psnrs, ssims, lpipss = [], [], []

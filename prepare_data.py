@@ -13,68 +13,10 @@ import sys
 import numpy as np
 
 from gpnf_tpu.data.lrhr import to_pklv4
+from gpnf_tpu.utils.png import read_png  # noqa: F401  (re-export: measure.py/tests import it)
 from gpnf_tpu.utils.imresize import imresize
 
 
-def read_png(path):
-    import struct
-    import zlib
-
-    with open(path, "rb") as f:
-        data = f.read()
-    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
-    pos, w = 8, None
-    idat = b""
-    while pos < len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
-        payload = data[pos + 8 : pos + 8 + length]
-        if tag == b"IHDR":
-            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
-            assert depth == 8 and ctype in (2, 6), "only 8-bit RGB(A) PNG"
-            ch = 3 if ctype == 2 else 4
-        elif tag == b"IDAT":
-            idat += payload
-        elif tag == b"IEND":
-            break
-        pos += 12 + length
-    raw = zlib.decompress(idat)
-    stride = w * ch
-    img = np.empty((h, stride), np.uint8)
-    prev = np.zeros(stride, np.uint8)
-    pos = 0
-    for y in range(h):
-        ft = raw[pos]
-        row = np.frombuffer(raw[pos + 1 : pos + 1 + stride], np.uint8).astype(np.int32)
-        pos += 1 + stride
-        if ft == 0:
-            out = row
-        elif ft == 1:
-            out = row.copy()
-            for x in range(ch, stride):
-                out[x] = (out[x] + out[x - ch]) & 0xFF
-        elif ft == 2:
-            out = (row + prev) & 0xFF
-        elif ft == 3:
-            out = row.copy()
-            for x in range(stride):
-                left = out[x - ch] if x >= ch else 0
-                out[x] = (out[x] + ((left + prev[x]) >> 1)) & 0xFF
-        elif ft == 4:
-            out = row.copy()
-            for x in range(stride):
-                a = out[x - ch] if x >= ch else 0
-                b = prev[x]
-                c = prev[x - ch] if x >= ch else 0
-                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                out[x] = (out[x] + pred) & 0xFF
-        else:
-            raise ValueError(f"bad filter {ft}")
-        img[y] = out.astype(np.uint8)
-        prev = img[y].astype(np.int32)
-    img = img.reshape(h, w, ch)
-    return img[:, :, :3]
 
 
 def main():

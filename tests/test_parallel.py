@@ -1,6 +1,8 @@
 """Data-parallel SPMD tests on the virtual 8-device CPU mesh: the sharded
 train step must match the single-device step (psum grads == full-batch
 grads), and the driver's dryrun must execute."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -89,3 +91,46 @@ def test_graft_dryrun_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_two_process_multihost_matches_single():
+    """Spawn 2 jax.distributed CPU processes (4 virtual devices each) running
+    scripts/multihost_worker.py; their global-batch loss/grad must equal the
+    single-process computation (VERDICT r1 item 8; parallel/multihost.py)."""
+    import socket
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    with socket.socket() as s:  # free port
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    procs = [subprocess.Popen(
+        [sys.executable, "scripts/multihost_worker.py", str(i), "2", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err[-2000:]
+        line = [l for l in out.splitlines() if l.startswith("RESULT")][0]
+        outs.append([float(v) for v in line.split()[1:]])
+
+    # single-process reference
+    gb = np.arange(8 * 3 * 4 * 4, dtype=np.float32).reshape(8, 3, 4, 4)
+    gb = np.sin(gb * 0.1)
+    w = np.full((3, 4, 4), 0.5, np.float32)
+    ref_loss = np.mean((gb * w[None]) ** 2)
+    import jax
+    import jax.numpy as jnp
+
+    g = jax.grad(lambda w: jnp.mean((jnp.asarray(gb) * w[None]) ** 2))(
+        jnp.asarray(w))
+    ref_gradsum = float(jnp.sum(g))
+
+    for loss, gradsum in outs:
+        np.testing.assert_allclose(loss, ref_loss, rtol=1e-5)
+        np.testing.assert_allclose(gradsum, ref_gradsum, rtol=1e-4, atol=1e-6)

@@ -11,30 +11,12 @@ Known intentional deviation: InvertibleConv1x1's log-det pixel count (the
 reference uses W*W — common_modules.py:86,104); tests use square inputs
 where both agree.
 """
-import sys
-
 import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
 
-# flow_modules.misc imports torchvision + PIL (data-side only); stub them so
-# the math modules import in this torch-cpu-only environment.
-import types
-
-for name in ("torchvision", "torchvision.transforms",
-             "torchvision.transforms.functional", "PIL"):
-    sys.modules.setdefault(name, types.ModuleType(name))
-sys.modules["PIL"].Image = object  # type: ignore[attr-defined]
-sys.modules["PIL"].ImageDraw = object  # type: ignore[attr-defined]
-
-import collections
-import collections.abc
-
-if not hasattr(collections, "Iterable"):  # py>=3.10 for the reference's utils
-    collections.Iterable = collections.abc.Iterable  # type: ignore[attr-defined]
-
-sys.path.insert(0, "/root/reference")
+from ref_transplant import patch_cuda_away, t2n  # stubs torchvision/PIL etc.
 
 import jax
 import jax.numpy as jnp
@@ -45,16 +27,7 @@ RNG = np.random.default_rng(0)
 
 @pytest.fixture(autouse=True)
 def _no_cuda(monkeypatch):
-    """The reference hard-codes .cuda() (transformer.py:16,36-131 etc.)."""
-    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self,
-                        raising=False)
-    monkeypatch.setattr(torch.nn.Module, "cuda", lambda self, *a, **k: self,
-                        raising=False)
-    monkeypatch.setattr(torch.cuda, "is_available", lambda: False, raising=False)
-
-
-def t2n(t):
-    return t.detach().cpu().numpy()
+    patch_cuda_away(monkeypatch)
 
 
 def _x(shape, scale=1.0):

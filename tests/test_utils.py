@@ -177,3 +177,44 @@ def test_losses():
     logits = jnp.zeros((4,))
     assert float(gan_loss("lsgan", logits, True)) == pytest.approx(1.0)
     assert float(gan_loss("gan", logits, True)) == pytest.approx(np.log(2), abs=1e-5)
+
+
+def test_random_feature_fid():
+    """FID machinery with the in-env random-CNN embedder: near-zero on
+    identical sets, ordered by distribution shift, deterministic."""
+    import numpy as np
+
+    from gpnf_tpu.utils.fid import RandomFeatureEmbedder, fid_between
+
+    rng = np.random.default_rng(0)
+    real = rng.uniform(0, 1, (48, 3, 16, 16)).astype(np.float32)
+    close = np.clip(real + rng.normal(0, 0.02, real.shape), 0, 1).astype(np.float32)
+    far = np.clip(real * 0.3 + 0.6, 0, 1).astype(np.float32)
+
+    emb = RandomFeatureEmbedder(seed=0)
+    f_same = fid_between(emb, [real], [real.copy()])
+    f_close = fid_between(emb, [real], [close])
+    f_far = fid_between(emb, [real], [far])
+    assert f_same < 1e-4
+    assert f_same < f_close < f_far
+
+    emb2 = RandomFeatureEmbedder(seed=0)
+    np.testing.assert_allclose(emb(real[:4]), emb2(real[:4]), rtol=1e-6)
+
+
+def test_lpips_rf_substitute():
+    import numpy as np
+
+    from gpnf_tpu.utils.metrics import Measure, lpips_rf
+
+    rng = np.random.default_rng(1)
+    a = rng.uniform(0, 255, (32, 32, 3))
+    near = np.clip(a + rng.normal(0, 2, a.shape), 0, 255)
+    far = np.clip(255 - a, 0, 255)
+    d_same = lpips_rf(a, a)
+    d_near = lpips_rf(a, near)
+    d_far = lpips_rf(a, far)
+    assert d_same < 1e-8 and d_same < d_near < d_far
+
+    _, _, lp = Measure(lpips_substitute=True).measure(a, near)
+    assert lp is not None and np.isfinite(lp)
