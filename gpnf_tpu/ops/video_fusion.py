@@ -1,0 +1,193 @@
+"""EDVR-style video feature alignment and fusion (PCD align, TSA fusion).
+
+Reference: /root/reference/operations.py — PCD_Align (393-516), Align_fea
+(517-560), TSA_Fusion (744-831). These are the video-NAS search-space
+capabilities the reference carries (dead at import time there: DCNv2Pack is
+an unresolved CUDA extension); here they are live TPU-native modules built
+on ops.deform.modulated_deform_conv2d.
+
+Layout is NCHW throughout; pyramid lists are ordered [L1 (full res), L2
+(half res)] matching the reference's 2-level PCD ("Reduce PCD cascade to 2
+levels", operations.py:403).
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from .convrnn import _convnd
+from .deform import DCNPack
+
+
+def lrelu(x, slope: float = 0.1):
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def _conv_init(key, out_ch, in_ch, k, bias=True):
+    bound = 1.0 / math.sqrt(in_ch * k * k)
+    kw, kb = jax.random.split(key)
+    p = {"w": jax.random.uniform(kw, (out_ch, in_ch, k, k), minval=-bound,
+                                 maxval=bound)}
+    if bias:
+        p["b"] = jax.random.uniform(kb, (out_ch,), minval=-bound, maxval=bound)
+    return p
+
+
+def _conv(params, x):
+    return _convnd(x, params["w"], params.get("b"), ndim=2)
+
+
+def upsample2x(x):
+    """torch F.interpolate(scale_factor=2, mode='bilinear',
+    align_corners=False) == jax.image.resize 'bilinear' (half-pixel)."""
+    b, c, h, w = x.shape
+    return jax.image.resize(x, (b, c, 2 * h, 2 * w), method="bilinear")
+
+
+def _pool(x, kind: str):
+    """torch {Max,Avg}Pool2d(3, stride=2, padding=1); avg counts zero pads
+    (count_include_pad=True default)."""
+    if kind == "max":
+        init, op = -jnp.inf, jax.lax.max
+    else:
+        init, op = 0.0, jax.lax.add
+    y = jax.lax.reduce_window(x, init, op, (1, 1, 3, 3), (1, 1, 2, 2),
+                              [(0, 0), (0, 0), (1, 1), (1, 1)])
+    return y / 9.0 if kind == "avg" else y
+
+
+class PCDAlign:
+    """2-level pyramid cascading deformable alignment (operations.py:393-499)."""
+
+    def __init__(self, num_feat: int = 64, deformable_groups: int = 8):
+        self.nf = num_feat
+        self.dg = deformable_groups
+
+    def init(self, key):
+        ks = iter(jax.random.split(key, 16))
+        nf = self.nf
+        p = {}
+        for lvl in ("l2", "l1"):
+            p[f"offset_conv1_{lvl}"] = _conv_init(next(ks), nf, nf * 2, 3, bias=False)
+            if lvl == "l2":
+                p["offset_conv2_l2"] = _conv_init(next(ks), nf, nf, 3, bias=False)
+            else:
+                p["offset_conv2_l1"] = _conv_init(next(ks), nf, nf * 2, 3, bias=False)
+                p["offset_conv3_l1"] = _conv_init(next(ks), nf, nf, 3, bias=False)
+                p["feat_conv_l1"] = _conv_init(next(ks), nf, nf * 2, 3, bias=False)
+            p[f"dcn_{lvl}"] = DCNPack(nf, nf, 3, self.dg).init(next(ks))
+        p["cas_offset_conv1"] = _conv_init(next(ks), nf, nf * 2, 3, bias=False)
+        p["cas_offset_conv2"] = _conv_init(next(ks), nf, nf, 3, bias=False)
+        p["cas_dcn"] = DCNPack(nf, nf, 3, self.dg).init(next(ks))
+        return p
+
+    def apply(self, params, nbr_feat_l, ref_feat_l):
+        """nbr_feat_l / ref_feat_l: [L1 (B,C,H,W), L2 (B,C,H/2,W/2)]."""
+        dcn = DCNPack(self.nf, self.nf, 3, self.dg)
+        up_offset = up_feat = None
+        for i in (2, 1):
+            lvl = f"l{i}"
+            offset = jnp.concatenate([nbr_feat_l[i - 1], ref_feat_l[i - 1]], axis=1)
+            offset = lrelu(_conv(params[f"offset_conv1_{lvl}"], offset))
+            if i == 2:
+                offset = lrelu(_conv(params["offset_conv2_l2"], offset))
+            else:
+                offset = lrelu(_conv(params["offset_conv2_l1"],
+                                     jnp.concatenate([offset, up_offset], axis=1)))
+                offset = lrelu(_conv(params["offset_conv3_l1"], offset))
+            feat = dcn.apply(params[f"dcn_{lvl}"], nbr_feat_l[i - 1], offset)
+            if i == 1:
+                feat = _conv(params["feat_conv_l1"],
+                             jnp.concatenate([feat, up_feat], axis=1))
+            else:
+                feat = lrelu(feat)
+                up_offset = upsample2x(offset) * 2.0  # offsets scale with res
+                up_feat = upsample2x(feat)
+        offset = jnp.concatenate([feat, ref_feat_l[0]], axis=1)
+        offset = lrelu(_conv(params["cas_offset_conv2"],
+                             lrelu(_conv(params["cas_offset_conv1"], offset))))
+        return lrelu(dcn.apply(params["cas_dcn"], feat, offset))
+
+
+class AlignFea:
+    """Single-level deformable alignment (operations.py:517-560):
+    offsets from [nbr, ref] concat through two convs, one DCN."""
+
+    def __init__(self, nf: int = 64, groups: int = 8):
+        self.nf, self.dg = nf, groups
+
+    def init(self, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        return {
+            "offset_conv1": _conv_init(k1, self.nf, self.nf * 2, 3, bias=True),
+            "offset_conv2": _conv_init(k2, self.nf, self.nf, 3, bias=True),
+            "dcn": DCNPack(self.nf, self.nf, 3, self.dg).init(k3),
+        }
+
+    def apply(self, params, nbr_fea, ref_fea):
+        offset = jnp.concatenate([nbr_fea, ref_fea], axis=1)
+        offset = lrelu(_conv(params["offset_conv1"], offset))
+        offset = lrelu(_conv(params["offset_conv2"], offset))
+        return lrelu(DCNPack(self.nf, self.nf, 3, self.dg)
+                     .apply(params["dcn"], nbr_fea, offset))
+
+
+class TSAFusion:
+    """Temporal (correlation) + spatial (pyramid) attention fusion
+    (operations.py:744-817)."""
+
+    def __init__(self, nf: int = 64, nframes: int = 5, center: int = 2):
+        self.nf, self.n, self.center = nf, nframes, center
+
+    def init(self, key):
+        ks = iter(jax.random.split(key, 14))
+        nf, n = self.nf, self.n
+        return {
+            "tAtt_1": _conv_init(next(ks), nf, nf, 3),
+            "tAtt_2": _conv_init(next(ks), nf, nf, 3),
+            "fea_fusion": _conv_init(next(ks), nf, n * nf, 1),
+            "sAtt_1": _conv_init(next(ks), nf, n * nf, 1),
+            "sAtt_2": _conv_init(next(ks), nf, nf * 2, 1),
+            "sAtt_3": _conv_init(next(ks), nf, nf, 3),
+            "sAtt_4": _conv_init(next(ks), nf, nf, 1),
+            "sAtt_5": _conv_init(next(ks), nf, nf, 3),
+            "sAtt_L1": _conv_init(next(ks), nf, nf, 1),
+            "sAtt_L2": _conv_init(next(ks), nf, nf * 2, 3),
+            "sAtt_L3": _conv_init(next(ks), nf, nf, 3),
+            "sAtt_add_1": _conv_init(next(ks), nf, nf, 1),
+            "sAtt_add_2": _conv_init(next(ks), nf, nf, 1),
+        }
+
+    def apply(self, params, aligned_fea):
+        """aligned_fea (B, N, C, H, W) -> fused (B, C, H, W)."""
+        b, n, c, h, w = aligned_fea.shape
+        emb_ref = _conv(params["tAtt_2"], aligned_fea[:, self.center])
+        emb = _conv(params["tAtt_1"], aligned_fea.reshape(-1, c, h, w))
+        emb = emb.reshape(b, n, -1, h, w)
+        # frame-to-center correlation -> sigmoid prob per (frame, pixel)
+        cor = jnp.sum(emb * emb_ref[:, None], axis=2)  # (B, N, H, W)
+        cor_prob = jax.nn.sigmoid(cor)[:, :, None]  # (B, N, 1, H, W)
+        fea_w = (aligned_fea * cor_prob).reshape(b, n * c, h, w)
+
+        fea = lrelu(_conv(params["fea_fusion"], fea_w))
+
+        att = lrelu(_conv(params["sAtt_1"], fea_w))
+        att = lrelu(_conv(params["sAtt_2"], jnp.concatenate(
+            [_pool(att, "max"), _pool(att, "avg")], axis=1)))
+        att_l = lrelu(_conv(params["sAtt_L1"], att))
+        att_l = lrelu(_conv(params["sAtt_L2"], jnp.concatenate(
+            [_pool(att_l, "max"), _pool(att_l, "avg")], axis=1)))
+        att_l = lrelu(_conv(params["sAtt_L3"], att_l))
+        att_l = upsample2x(att_l)
+
+        att = lrelu(_conv(params["sAtt_3"], att))
+        att = att + att_l
+        att = lrelu(_conv(params["sAtt_4"], att))
+        att = upsample2x(att)
+        att = _conv(params["sAtt_5"], att)
+        att_add = _conv(params["sAtt_add_2"],
+                        lrelu(_conv(params["sAtt_add_1"], att)))
+        att = jax.nn.sigmoid(att)
+        return fea * att * 2.0 + att_add
