@@ -77,11 +77,30 @@ def main():
     assert losses[-1] != losses[0], "loss did not change; measurement invalid"
 
     img_s = BATCH * STEPS / dt
+
+    # MFU: XLA's own cost analysis of the compiled step / measured time /
+    # chip peak. Peak bf16 FLOP/s per chip: v5e 197e12, v5p 459e12 (public
+    # spec sheets); fall back to v5e if the kind is unrecognized.
+    mfu = None
+    try:
+        compiled = jax.jit(step.__wrapped__ if hasattr(step, "__wrapped__")
+                           else step).lower(params, opt_state, x, rng).compile()
+        cost = compiled.cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops_per_step = float(cost.get("flops", 0.0))
+        kind = jax.devices()[0].device_kind.lower()
+        peak = 459e12 if "v5p" in kind or "v5 p" in kind else 197e12
+        if flops_per_step > 0:
+            mfu = flops_per_step / (dt / STEPS) / peak
+    except Exception as e:  # cost analysis is best-effort
+        print(f"# mfu unavailable: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "cifar10_mixlogcdf_K4_C96_train_throughput",
         "value": round(img_s, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_s / A100_BASELINE_IMG_S, 3),
+        **({"mfu": round(mfu, 4)} if mfu is not None else {}),
     }))
     print(f"# device={jax.devices()[0].device_kind} batch={BATCH} steps={STEPS} "
           f"step_time={dt/STEPS*1e3:.1f}ms warmup+compile={compile_s:.1f}s "
