@@ -134,6 +134,97 @@ class AlignFea:
                      .apply(params["dcn"], nbr_fea, offset))
 
 
+class SimpleNonLocalBlockVideo:
+    """Gated 1x1x1-conv3d block (operations.py:561-616, both plain and NAS
+    act_weights variants).
+
+    Faithful to the reference's axis quirk: in 'channel' mode the conv3d is
+    applied to (B, T, C, H, W) directly, so it MIXES FRAMES (in_ch must be
+    num_frames); in 'temporal' mode the tensor is permuted to (B, C, T, H, W)
+    so it mixes channels (in_ch = nf). act_weights, when given, blends
+    relu/sigmoid/softmax gates as in the NAS variant (temporal mode only,
+    matching operations.py:600-612).
+    """
+
+    def __init__(self, nf: int, mode: str):
+        assert mode in ("channel", "temporal"), mode
+        self.nf, self.mode = nf, mode
+
+    def init(self, key):
+        ks = jax.random.split(key, 3)
+        return {name: _conv_init(k, self.nf, self.nf, 1)
+                for name, k in zip(("convx1", "convx2", "convx4"), ks)}
+
+    def _conv3d(self, p, x):
+        return _convnd(x, p["w"][..., None], p["b"], ndim=3)  # (O,I,1,1,1)
+
+    def apply(self, params, x1, act_weights=None):
+        if self.mode == "channel":
+            x = x1  # conv over the frame axis; (C, H, W) are conv3d spatials
+            xa = jax.nn.sigmoid(self._conv3d(params["convx1"], x))
+            xb = self._conv3d(params["convx2"], x) * xa
+            x = self._conv3d(params["convx4"], xb)
+        else:
+            x = jnp.swapaxes(x1, 1, 2)  # BTCHW -> BCTHW
+            intm = self._conv3d(params["convx1"], x)
+            if act_weights is None:
+                xa = jax.nn.sigmoid(intm)
+            else:
+                xa = (jax.nn.relu(intm) * act_weights[0]
+                      + jax.nn.sigmoid(intm) * act_weights[1]
+                      + jax.nn.softmax(intm, axis=1) * act_weights[2])
+            xb = self._conv3d(params["convx2"], x) * xa
+            xb = self._conv3d(params["convx4"], xb)
+            x = jnp.swapaxes(xb, 1, 2)
+        return x + x1
+
+
+class EPAB:
+    """Efficient parallel attention block (operations.py:671-699): channel +
+    temporal gated blocks summed with the input (each branch already carries
+    its own residual, so the input appears three times — reference quirk)."""
+
+    def __init__(self, nf: int = 128, num_frames: int = 7):
+        self.channel = SimpleNonLocalBlockVideo(num_frames, "channel")
+        self.temporal = SimpleNonLocalBlockVideo(nf, "temporal")
+
+    def init(self, key):
+        k1, k2 = jax.random.split(key)
+        return {"channel": self.channel.init(k1),
+                "temporal": self.temporal.init(k2)}
+
+    def apply(self, params, f):
+        return (self.channel.apply(params["channel"], f)
+                + self.temporal.apply(params["temporal"], f) + f)
+
+
+class EPABSpatioChannel:
+    """NAS EPAB, channel branch only (operations.py:617-643): block output
+    (with its residual) + input again."""
+
+    def __init__(self, nf: int = 128, num_frames: int = 7):
+        self.block = SimpleNonLocalBlockVideo(num_frames, "channel")
+
+    def init(self, key):
+        return {"block": self.block.init(key)}
+
+    def apply(self, params, f, act_weights=None):
+        return self.block.apply(params["block"], f, act_weights) + f
+
+
+class EPABSpatioTemporal:
+    """NAS EPAB, temporal branch only (operations.py:645-669)."""
+
+    def __init__(self, nf: int = 128, num_frames: int = 7):
+        self.block = SimpleNonLocalBlockVideo(nf, "temporal")
+
+    def init(self, key):
+        return {"block": self.block.init(key)}
+
+    def apply(self, params, f, act_weights=None):
+        return self.block.apply(params["block"], f, act_weights) + f
+
+
 class TSAFusion:
     """Temporal (correlation) + spatial (pyramid) attention fusion
     (operations.py:744-817)."""

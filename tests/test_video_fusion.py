@@ -143,6 +143,59 @@ def test_tsa_fusion_shapes_and_grads():
     assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves)
 
 
+def test_epab_matches_torch():
+    """EPAB / SimpleNonLocal blocks vs a direct torch reimplementation of
+    operations.py:561-699 (pure conv3d + gates, runnable on CPU)."""
+    torch = pytest.importorskip("torch")
+    from gpnf_tpu.ops.video_fusion import EPAB
+
+    nf, n, b, h, w = 6, 4, 2, 5, 5
+    epab = EPAB(nf=nf, num_frames=n)
+    p = epab.init(jax.random.PRNGKey(0))
+    x = np.random.RandomState(0).randn(b, n, nf, h, w).astype(np.float32)
+
+    got = np.asarray(epab.apply(p, jnp.asarray(x)))
+
+    def t_conv3d(pp, xt):
+        wt = torch.from_numpy(np.asarray(pp["w"])[..., None])
+        bt = torch.from_numpy(np.asarray(pp["b"]))
+        return torch.nn.functional.conv3d(xt, wt, bt)
+
+    xt = torch.from_numpy(x)
+    # channel branch: conv3d straight on (B, T, C, H, W)
+    ca = torch.sigmoid(t_conv3d(p["channel"]["convx1"], xt))
+    cb = t_conv3d(p["channel"]["convx2"], xt) * ca
+    ch = t_conv3d(p["channel"]["convx4"], cb) + xt
+    # temporal branch: permute to (B, C, T, H, W)
+    xp = xt.permute(0, 2, 1, 3, 4)
+    ta = torch.sigmoid(t_conv3d(p["temporal"]["convx1"], xp))
+    tb = t_conv3d(p["temporal"]["convx2"], xp) * ta
+    tm = (t_conv3d(p["temporal"]["convx4"], tb)).permute(0, 2, 1, 3, 4) + xt
+    want = (ch + tm + xt).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_epab_nas_act_weights():
+    from gpnf_tpu.ops.video_fusion import EPABSpatioTemporal, EPABSpatioChannel
+
+    nf, n = 6, 4
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, n, nf, 5, 5))
+    st = EPABSpatioTemporal(nf=nf, num_frames=n)
+    p = st.init(jax.random.PRNGKey(1))
+    w_sig = jnp.array([0.0, 1.0, 0.0])
+    # act_weights (0,1,0) == pure sigmoid gate == the non-NAS path
+    np.testing.assert_allclose(
+        np.asarray(st.apply(p, x, w_sig)), np.asarray(st.apply(p, x, None)),
+        rtol=1e-5, atol=1e-6)
+    w_mix = jnp.array([0.3, 0.3, 0.4])
+    assert not np.allclose(np.asarray(st.apply(p, x, w_mix)),
+                           np.asarray(st.apply(p, x, None)))
+    sc = EPABSpatioChannel(nf=nf, num_frames=n)
+    psc = sc.init(jax.random.PRNGKey(2))
+    out = sc.apply(psc, x, w_mix)
+    assert out.shape == x.shape and np.isfinite(np.asarray(out)).all()
+
+
 def test_deform_conv_differentiable():
     """Gradients flow through sampling coords (the point of DCN)."""
     rng = np.random.RandomState(4)
