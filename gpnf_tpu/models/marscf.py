@@ -173,7 +173,9 @@ class MarScfFlow:
             hh, ww, cc = cfg.image_shape
             self.prior = ChannelPriorMultiScale(
                 cc, hh, ww, cfg.L, hidden_size=cfg.prior_hidden,
-                dp_rate=cfg.prior_dp_rate, num_layers=cfg.prior_layers)
+                dp_rate=cfg.prior_dp_rate, num_layers=cfg.prior_layers,
+                compute_dtype=(jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                               else None))
             self.split_priors = None
         elif cfg.prior == "gaussian":
             self.prior = None

@@ -95,8 +95,11 @@ class ChannelPriorUniScale:
 
     def __init__(self, nc_base: int, height: int, width: int, level: int,
                  tot_levels: int, hidden_size: int = 32, num_layers: int = 1,
-                 dp_rate: float = 0.0):
+                 dp_rate: float = 0.0, compute_dtype=None):
         self.level, self.tot_levels = level, tot_levels
+        # run the ConvLSTM/conv stack in this dtype (e.g. bf16, matching the
+        # coupling networks); the Gaussian likelihood math stays fp32
+        self.compute_dtype = compute_dtype
         self.height = height // (2**level)
         self.width = width // (2**level)
         self.is_final = level == tot_levels
@@ -157,7 +160,14 @@ class ChannelPriorUniScale:
             cond = jnp.broadcast_to(cond, (b, t, 4, self.height, self.width))
             lstm_input = jnp.concatenate([lstm_input, cond], axis=2)
 
-        out, _ = self.encoder.apply(params["encoder"], lstm_input, rng=rng, train=train)
+        enc_params = params["encoder"]
+        if self.compute_dtype is not None:
+            cast = lambda a: (a.astype(self.compute_dtype)
+                              if jnp.issubdtype(a.dtype, jnp.floating) else a)
+            enc_params = jax.tree.map(cast, enc_params)
+            lstm_input = lstm_input.astype(self.compute_dtype)
+        out, _ = self.encoder.apply(enc_params, lstm_input, rng=rng, train=train)
+        out = out.astype(jnp.float32)
         means, logs = out[:, :, 0:1], out[:, :, 1:2]
         ll = self._likelihood(means, logs, z2_seq)
         return jnp.sum(ll.reshape(b, -1), axis=-1)
@@ -196,12 +206,13 @@ class ChannelPriorMultiScale:
     """One ChannelPriorUniScale per level (corr_prior.py:157-182)."""
 
     def __init__(self, nc_base: int, height: int, width: int, levels: int,
-                 hidden_size: int = 32, dp_rate: float = 0.0, num_layers: int = 2):
+                 hidden_size: int = 32, dp_rate: float = 0.0, num_layers: int = 2,
+                 compute_dtype=None):
         self.levels = levels
         self.priors = [
             ChannelPriorUniScale(nc_base, height, width, level, levels,
                                  hidden_size=hidden_size, num_layers=num_layers,
-                                 dp_rate=dp_rate)
+                                 dp_rate=dp_rate, compute_dtype=compute_dtype)
             for level in range(1, levels + 1)
         ]
 

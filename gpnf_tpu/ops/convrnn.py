@@ -29,16 +29,21 @@ def _same_pad(k: int, d: int) -> Tuple[int, int]:
     return (total // 2, total - total // 2)
 
 
-def _convnd(x, w, b=None, *, dilation=1, ndim=2):
+def _convnd(x, w, b=None, *, dilation=1, ndim=2, groups=1):
     """N-d conv with reference-matching same padding; x (B, C, *sp), w (O, I, *k)."""
     k = w.shape[2:]
     dil = (dilation,) * ndim if isinstance(dilation, int) else tuple(dilation)
     pads = [_same_pad(kk, dd) for kk, dd in zip(k, dil)]
     spec = {1: ("NCH", "OIH", "NCH"), 2: ("NCHW", "OIHW", "NCHW"),
             3: ("NCDHW", "OIDHW", "NCDHW")}[ndim]
+    # fp32 accumulation: explicit only for fp32 inputs — bf16 convs accumulate
+    # fp32 on the MXU natively, and an explicit preferred type breaks the conv
+    # transpose rule under AD (fp32 cotangent vs bf16 operand; see ops/conv.py)
+    preferred = jnp.float32 if x.dtype == jnp.float32 else None
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=(1,) * ndim, padding=pads, rhs_dilation=dil,
-        dimension_numbers=spec, preferred_element_type=jnp.float32)
+        dimension_numbers=spec, feature_group_count=groups,
+        preferred_element_type=preferred)
     if b is not None:
         y = y + b.reshape((1, -1) + (1,) * ndim)
     return y.astype(x.dtype)
@@ -154,12 +159,83 @@ class ConvRNN:
         state, outs = jax.lax.scan(step, state, igates_t, reverse=reverse)
         return jnp.swapaxes(outs, 0, 1), state
 
+    def _apply_wavefront(self, params, x_seq):
+        """Diagonal-wavefront evaluation of the stacked unidirectional LSTM.
+
+        Exactly equivalent to the layer-by-layer scans, but the sequential
+        chain shrinks from L*T steps to T+L-1 waves: at wave w, layer l
+        processes its t = w - l, so all L layers' cells run concurrently as
+        ONE grouped conv (their h2h convs batched with feature_group_count=L,
+        the layer>=1 input convs with L-1 groups). On TPU the per-step conv
+        triples in size (better MXU tiling) while the scan latency — the
+        dominant cost of these small-spatial recurrences — drops ~L-fold.
+        Preconditions checked by the caller: LSTM, unidirectional, zero
+        initial state, no inter-layer dropout.
+        """
+        lps = params["layers"]
+        ell = self.num_layers
+        b, t = x_seq.shape[:2]
+        spatial = x_seq.shape[3:]
+        c = self.out_ch
+        dtype = x_seq.dtype
+
+        w_hh = jnp.concatenate([lp["w_hh"] for lp in lps], axis=0)
+        b_hh = jnp.concatenate([lp["b_hh"] for lp in lps], axis=0)
+        w_ih_r = jnp.concatenate([lps[l]["w_ih"] for l in range(1, ell)], axis=0)
+        b_ih_r = jnp.concatenate([lps[l]["b_ih"] for l in range(1, ell)], axis=0)
+
+        ig0 = self.input_gates(lps[0], x_seq)  # (B, T, G, *sp), b_ih included
+        ig0 = jnp.swapaxes(ig0, 0, 1)
+        ig0 = jnp.concatenate(
+            [ig0, jnp.zeros((ell - 1,) + ig0.shape[1:], ig0.dtype)], axis=0)
+
+        def merge_l(x):  # (L', B, C', *sp) -> (B, L'*C', *sp) group layout
+            return jnp.moveaxis(x, 0, 1).reshape((b, -1) + spatial)
+
+        def split_l(x, lcount):  # inverse of merge_l for conv outputs
+            return jnp.moveaxis(
+                x.reshape((b, lcount, -1) + spatial), 1, 0)
+
+        h0 = jnp.zeros((ell, b, c) + spatial, dtype)
+        layer_idx = jnp.arange(ell).reshape((ell,) + (1,) * (3 + len(spatial) - 1))
+
+        def wave(carry, xs):
+            h, cc = carry
+            ig_t, w = xs
+            ig_rest = split_l(
+                _convnd(merge_l(h[: ell - 1]), w_ih_r, b_ih_r,
+                        dilation=self.dilation, ndim=self.ndim,
+                        groups=ell - 1), ell - 1)
+            igates = jnp.concatenate([ig_t[None], ig_rest], axis=0)
+            hh = split_l(
+                _convnd(merge_l(h), w_hh, b_hh, dilation=self.dilation,
+                        ndim=self.ndim, groups=ell), ell)
+            gates = igates + hh  # (L, B, 4C, *sp)
+            i, f, g, o = jnp.split(gates, 4, axis=2)
+            i, f, g, o = (jax.nn.sigmoid(i), jax.nn.sigmoid(f), jnp.tanh(g),
+                          jax.nn.sigmoid(o))
+            c_new = f * cc + i * g
+            h_new = o * jnp.tanh(c_new)
+            active = (w >= layer_idx) & (w - layer_idx < t)
+            h = jnp.where(active, h_new, h)
+            cc = jnp.where(active, c_new, cc)
+            return (h, cc), h[ell - 1]
+
+        (h, cc), ys = jax.lax.scan(
+            wave, (h0, h0), (ig0, jnp.arange(t + ell - 1)))
+        outs = jnp.swapaxes(ys[ell - 1: ell - 1 + t], 0, 1)
+        return outs, (h, cc)
+
     def apply(self, params, x_seq, hidden=None, *, rng=None, train=False):
         """x_seq (B, T, C, *sp) -> (out_seq (B, T, out_ch*dirs, *sp), hidden).
 
         `hidden` packs per-(layer, direction) states in reference order; pass
         the returned value back in to continue a sequence (AR sampling).
         """
+        if (self.mode == "LSTM" and not self.bidirectional
+                and self.num_layers > 1 and hidden is None
+                and (not train or self.dropout == 0.0)):
+            return self._apply_wavefront(params, x_seq)
         b = x_seq.shape[0]
         spatial = x_seq.shape[3:]
         lstm = self.mode in ("LSTM", "PeepholeLSTM")

@@ -113,25 +113,20 @@ class GatedAttn:
         seq = x.reshape(b, h * w, c)
         seq = seq + sinusoidal_pos_enc(h * w, c, seq.dtype)
 
-        proj = self.in_proj.apply(params["in_proj"], seq)
-        memory, query = proj[..., : 2 * c], proj[..., 2 * c :]
-        k, v = memory[..., :c], memory[..., c:]
-
-        def heads(t):  # (B, S, C) -> (B, n, S, C/n)
-            return t.reshape(b, h * w, self.num_heads, c // self.num_heads).transpose(0, 2, 1, 3)
-
-        q, k, v = heads(query), heads(k), heads(v)
-        q = q * (c // self.num_heads) ** -0.5
-        # fused kernel on TPU: scores+softmax+dropout+PV stay in VMEM — the
-        # (B, n, S, S) weights/mask never touch HBM (dominant train cost,
-        # docs/BENCHMARKS.md); jnp path elsewhere.
-        from .pallas.fused_attention import fused_attention
+        proj = self.in_proj.apply(params["in_proj"], seq)  # (B, S, 3C) [k|v|q]
+        # fused kernel on TPU: head split, scores+softmax+dropout+PV all stay
+        # in VMEM — neither the (B, n, S, S) weights/mask nor any
+        # (B, n, S, C/n) head-transposed copies ever touch HBM (the head
+        # split/merge copies alone were ~65 ms/step, scripts/profile_train.py);
+        # jnp path elsewhere.
+        from .pallas.fused_attention import fused_attention_qkv
 
         rate = self.drop_prob if (train and rng is not None) else 0.0
         seed = (jax.random.randint(rng, (1,), 0, 2**30, jnp.int32)
                 if rng is not None else jnp.zeros((1,), jnp.int32))
-        attn = fused_attention(seed, q, k, v, rate, train).astype(x.dtype)
-        attn = attn.transpose(0, 2, 1, 3).reshape(b, h * w, c).reshape(b, h, w, c)
+        attn = fused_attention_qkv(seed, proj, self.num_heads, rate,
+                                   train).astype(x.dtype)
+        attn = attn.reshape(b, h, w, c)
 
         gated = self.gate.apply(params["gate"], attn)
         a, g = jnp.split(gated, 2, axis=-1)

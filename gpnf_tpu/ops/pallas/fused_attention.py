@@ -186,3 +186,154 @@ def _vjp_bwd(rate, train, res, g):
 
 
 fused_attention.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Packed-QKV variant: heads are split INSIDE the kernel.
+#
+# The (B, S, C) -> (B, H, S, C/H) head split/merge around the original kernel
+# lowers to physical HBM layout copies — measured at ~65 ms/step of the
+# headline config (scripts/profile_train.py: `copy bf16[256,256,4,24]` et
+# al. dominate the copy bucket). Taking the in_proj output (B, S, 3C)
+# directly and reshaping to (S, H, Dh) in VMEM turns those HBM round trips
+# into register/VMEM relayouts. Packing order matches GatedAttn's in_proj:
+# [k | v | q] along the channel axis; q is scaled by Dh^-1/2 in-kernel.
+# ---------------------------------------------------------------------------
+
+
+def _dot(a, b, dims):
+    return jax.lax.dot_general(a, b, (dims, ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _fwd_kernel_qkv(seed_ref, qkv_ref, o_ref, *, rate, heads):
+    """Heads processed as an unrolled loop of 2D lane-sliced dots: Mosaic
+    supports neither lane-splitting shape casts nor batch dims off position
+    0, but static lane slices + plain matmuls lower cleanly. The per-head
+    slices/concat stay in VMEM — the whole point of the packed layout."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    qkv = qkv_ref[0]  # (S, 3C) [k|v|q]
+    c = qkv.shape[1] // 3
+    dh = c // heads
+    if rate > 0.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    for h in range(heads):
+        lo = h * dh
+        k = qkv[:, lo:lo + dh]
+        v = qkv[:, c + lo:c + lo + dh]
+        q = qkv[:, 2 * c + lo:2 * c + lo + dh] * (dh ** -0.5)
+        s = _dot(q, k, (((1,), (1,))))  # (S, S)
+        p = _softmax_last(s)
+        if rate > 0.0:
+            keep = _dropout_keep(p.shape, rate)
+            p = jnp.where(keep, p / (1.0 - rate), 0.0)
+        o = _dot(p.astype(v.dtype), v, (((1,), (0,))))
+        o_ref[0, :, lo:lo + dh] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel_qkv(seed_ref, qkv_ref, g_ref, dqkv_ref, *, rate, heads):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    qkv = qkv_ref[0]
+    c = qkv.shape[1] // 3
+    dh = c // heads
+    if rate > 0.0:
+        # same seed and same per-head generation order as the forward kernel
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    for h in range(heads):
+        lo = h * dh
+        k = qkv[:, lo:lo + dh]
+        v = qkv[:, c + lo:c + lo + dh]
+        q = qkv[:, 2 * c + lo:2 * c + lo + dh] * (dh ** -0.5)
+        g = g_ref[0, :, lo:lo + dh].astype(jnp.float32)
+        s = _dot(q, k, (((1,), (1,))))
+        p = _softmax_last(s)
+        if rate > 0.0:
+            keep = _dropout_keep(p.shape, rate)
+            pd = jnp.where(keep, p / (1.0 - rate), 0.0)
+        else:
+            pd = p
+        # dV = Pd^T g; dPd = g V^T; dS = P*(dP - rowsum(dP*P));
+        # dQs = dS K; dK = dS^T Qs (Qs = scaled q; chain scale into dQ)
+        dv = _dot(pd, g, (((0,), (0,))))
+        dpd = _dot(g, v.astype(jnp.float32), (((1,), (1,))))
+        dp = jnp.where(keep, dpd / (1.0 - rate), 0.0) if rate > 0.0 else dpd
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq = _dot(ds, k.astype(jnp.float32), (((1,), (0,)))) * (dh ** -0.5)
+        dk = _dot(ds, q, (((0,), (0,))))
+        dqkv_ref[0, :, lo:lo + dh] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, c + lo:c + lo + dh] = dv.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, 2 * c + lo:2 * c + lo + dh] = dq.astype(dqkv_ref.dtype)
+
+
+def _run_qkv(kernel, seed, qkv, g, rate, heads, n_in):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, s, c3 = qkv.shape
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    full = pl.BlockSpec((1, s, c3), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    third = pl.BlockSpec((1, s, c3 // 3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    if g is None:
+        return pl.pallas_call(
+            functools.partial(kernel, rate=rate, heads=heads),
+            grid=(b,), in_specs=[seed_spec, full], out_specs=third,
+            out_shape=jax.ShapeDtypeStruct((b, s, c3 // 3), qkv.dtype),
+        )(seed, qkv)
+    return pl.pallas_call(
+        functools.partial(kernel, rate=rate, heads=heads),
+        grid=(b,), in_specs=[seed_spec, full, third], out_specs=full,
+        out_shape=jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
+    )(seed, qkv, g)
+
+
+def _reference_qkv(seed, qkv, heads, rate, train):
+    b, s, c3 = qkv.shape
+    c = c3 // 3
+    dh = c // heads
+    hsplit = lambda t: t.reshape(b, s, heads, dh).transpose(0, 2, 1, 3)
+    k, v, q = hsplit(qkv[..., :c]), hsplit(qkv[..., c:2 * c]), hsplit(qkv[..., 2 * c:])
+    out = _reference(seed, q * dh ** -0.5, k, v, rate, train)
+    return out.transpose(0, 2, 1, 3).reshape(b, s, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_attention_qkv(seed, qkv, num_heads: int, rate: float = 0.0,
+                        train: bool = False):
+    """Multi-head softmax(q kᵀ/√Dh) [dropout] v on a packed projection.
+
+    qkv: (B, S, 3C) laid out [k | v | q] (GatedAttn's in_proj order); heads
+    split in VMEM. Returns (B, S, C). Differentiable w.r.t. qkv.
+    """
+    eff_rate = rate if train else 0.0
+    if jax.default_backend() == "tpu" and qkv.shape[1] <= MAX_S:
+        return _run_qkv(_fwd_kernel_qkv, seed, qkv, None, eff_rate, num_heads, 2)
+    return _reference_qkv(seed, qkv, num_heads, eff_rate, True)
+
+
+def _vjp_fwd_qkv(seed, qkv, num_heads, rate, train):
+    return fused_attention_qkv(seed, qkv, num_heads, rate, train), (seed, qkv)
+
+
+def _vjp_bwd_qkv(num_heads, rate, train, res, g):
+    import numpy as np
+
+    seed, qkv = res
+    eff_rate = rate if train else 0.0
+    if jax.default_backend() == "tpu" and qkv.shape[1] <= MAX_S:
+        dqkv = _run_qkv(_bwd_kernel_qkv, seed, qkv, g.astype(qkv.dtype),
+                        eff_rate, num_heads, 3)
+    else:
+        _, vjp = jax.vjp(lambda t: _reference_qkv(seed, t, num_heads,
+                                                  eff_rate, True), qkv)
+        (dqkv,) = vjp(g)
+    seed_ct = np.zeros(seed.shape, jax.dtypes.float0)
+    return seed_ct, dqkv
+
+
+fused_attention_qkv.defvjp(_vjp_fwd_qkv, _vjp_bwd_qkv)

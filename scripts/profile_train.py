@@ -15,6 +15,8 @@ import glob
 import os
 import sys
 
+sys.path.insert(0, ".")
+
 
 def capture(steps: int, trace_dir: str):
     import jax
@@ -56,7 +58,13 @@ def capture(steps: int, trace_dir: str):
 
 
 def report(trace_dir: str, top: int, steps: int):
-    from tensorflow.core.profiler.protobuf import xplane_pb2  # type: ignore
+    """Aggregate the TPU plane's 'XLA Ops' line: leaf ops only (while/call
+    parents span their children and would double count), grouped by op type
+    and by individual op, plus the shape signatures of the data-movement
+    buckets (copy/reshape/checkpoint — the usual TPU flow-model overheads)."""
+    import re
+
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2  # type: ignore
 
     paths = sorted(glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                              recursive=True), key=os.path.getmtime)
@@ -67,31 +75,43 @@ def report(trace_dir: str, top: int, steps: int):
     with open(paths[-1], "rb") as f:
         xspace.ParseFromString(f.read())
 
+    parent = re.compile(r"^%?(while|conditional|call)")
+    shape_re = re.compile(r"= ([a-z0-9]+\[[0-9,]*\])")
     for plane in xspace.planes:
-        if "TPU" not in plane.name and "/device" not in plane.name.lower():
+        if "TPU" not in plane.name:
             continue
         ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
-        tot = collections.Counter()
-        cnt = collections.Counter()
-        plane_total = 0
-        for line in plane.lines:
-            lname = line.name.lower()
-            # XLA op lines carry per-HLO events; skip derived/step lines
-            if "step" in lname or "framework" in lname:
-                continue
-            for ev in line.events:
-                name = ev_meta.get(ev.metadata_id, "?")
-                dur = ev.duration_ps / 1e9  # ms
-                tot[name] += dur
-                cnt[name] += 1
-                plane_total += dur
-        if not tot:
+        lines = [l for l in plane.lines if l.name == "XLA Ops"]
+        if not lines:
             continue
-        print(f"\n== plane: {plane.name}  (sum of line self-times {plane_total:.1f} ms"
-              f" over {steps} steps)")
-        print(f"{'ms/step':>9} {'%':>6} {'count':>7}  op")
-        for name, ms in tot.most_common(top):
-            print(f"{ms/steps:9.3f} {100.0*ms/plane_total:6.2f} {cnt[name]:7d}  {name[:110]}")
+        by_type = collections.Counter()
+        n_type = collections.Counter()
+        by_shape = collections.Counter()
+        n_shape = collections.Counter()
+        grand = 0.0
+        for ev in lines[0].events:
+            name = ev_meta.get(ev.metadata_id, "?")
+            base = name.split(" ")[0].lstrip("%")
+            if parent.match(base):
+                continue
+            typ = base.split(".")[0]
+            d = ev.duration_ps / 1e9
+            by_type[typ] += d
+            n_type[typ] += 1
+            grand += d
+            if typ in ("copy", "reshape", "checkpoint", "transpose"):
+                m = shape_re.search(name)
+                sig = f"{typ} {m.group(1)}" if m else typ
+                by_shape[sig] += d
+                n_shape[sig] += 1
+        print(f"\n== {plane.name}: leaf-op device time "
+              f"{grand/steps:.1f} ms/step ({steps} steps)")
+        print(f"{'ms/step':>9} {'%':>6} {'count':>8}  op type")
+        for t, ms in by_type.most_common(top):
+            print(f"{ms/steps:9.3f} {100*ms/grand:6.2f} {n_type[t]:8d}  {t}")
+        print("\ndata-movement shapes:")
+        for t, ms in by_shape.most_common(20):
+            print(f"{ms/steps:9.3f} {100*ms/grand:6.2f} {n_shape[t]:8d}  {t}")
 
 
 def main():

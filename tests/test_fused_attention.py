@@ -63,6 +63,77 @@ def test_fused_attention_grads_match_reference():
                                    atol=1e-5)
 
 
+def _packed(b=2, s=64, c=96):
+    return jax.random.normal(jax.random.split(KEY, 1)[0], (b, s, 3 * c)) * 0.3
+
+
+def test_fused_attention_qkv_reference_matches_unpacked():
+    """Packed reference path == original path given the same [k|v|q] packing."""
+    qkv = _packed()
+    seed = jnp.zeros((1,), jnp.int32)
+    b, s, c3 = qkv.shape
+    c, heads = c3 // 3, 4
+    out = fa._reference_qkv(seed, qkv, heads, 0.0, False)
+    hsplit = lambda t: t.reshape(b, s, heads, c // heads).transpose(0, 2, 1, 3)
+    k, v, q = hsplit(qkv[..., :c]), hsplit(qkv[..., c:2 * c]), hsplit(qkv[..., 2 * c:])
+    ref = fa._reference(seed, q * (c // heads) ** -0.5, k, v, 0.0, False)
+    ref = ref.transpose(0, 2, 1, 3).reshape(b, s, c)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_fused_attention_qkv_kernel_interpret():
+    from jax.experimental import pallas as pl
+
+    qkv = _packed()
+    seed = jnp.zeros((1,), jnp.int32)
+    b, s, c3 = qkv.shape
+    full = pl.BlockSpec((1, s, c3), lambda i: (i, 0, 0))
+    third = pl.BlockSpec((1, s, c3 // 3), lambda i: (i, 0, 0))
+    out = pl.pallas_call(
+        functools.partial(fa._fwd_kernel_qkv, rate=0.0, heads=4),
+        grid=(b,), in_specs=[pl.BlockSpec(memory_space=None), full],
+        out_specs=third,
+        out_shape=jax.ShapeDtypeStruct((b, s, c3 // 3), qkv.dtype),
+        interpret=True,
+    )(seed, qkv)
+    ref = fa._reference_qkv(seed, qkv, 4, 0.0, False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_fused_attention_qkv_bwd_kernel_interpret():
+    from jax.experimental import pallas as pl
+
+    qkv = _packed(s=32)
+    g = jax.random.normal(jax.random.PRNGKey(7), (2, 32, 96)) * 0.5
+    seed = jnp.zeros((1,), jnp.int32)
+    b, s, c3 = qkv.shape
+    full = pl.BlockSpec((1, s, c3), lambda i: (i, 0, 0))
+    third = pl.BlockSpec((1, s, c3 // 3), lambda i: (i, 0, 0))
+    dqkv = pl.pallas_call(
+        functools.partial(fa._bwd_kernel_qkv, rate=0.0, heads=4),
+        grid=(b,), in_specs=[pl.BlockSpec(memory_space=None), full, third],
+        out_specs=full, out_shape=jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
+        interpret=True,
+    )(seed, qkv, g)
+    _, vjp = jax.vjp(lambda t: fa._reference_qkv(seed, t, 4, 0.0, False), qkv)
+    (want,) = vjp(g)
+    np.testing.assert_allclose(np.asarray(dqkv), np.asarray(want), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_fused_attention_qkv_grads_match_reference():
+    qkv = _packed(s=32)
+    seed = jnp.zeros((1,), jnp.int32)
+    g1 = jax.grad(lambda t: jnp.sum(
+        fa.fused_attention_qkv(seed, t, 4, 0.0, False) ** 2))(qkv)
+    g2 = jax.grad(lambda t: jnp.sum(
+        fa._reference_qkv(seed, t, 4, 0.0, False) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4,
+                               atol=1e-5)
+
+
 def test_gated_attn_uses_fused_path():
     """GatedAttn end-to-end still matches the reference parity expectations
     (covered in test_reference_parity); here check shape/dtype and train-mode

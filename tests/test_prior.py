@@ -28,6 +28,27 @@ def test_convlstm_matches_stepwise():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_wavefront_matches_legacy_layer_scan():
+    """The diagonal-wavefront path (auto for stacked unidirectional LSTM with
+    zero init) == the legacy per-layer scan (forced via explicit zero hidden),
+    including with dilation and the returned hidden states."""
+    for dil in (1, 2):
+        lstm = Conv2dLSTM(5, 8, 3, num_layers=3, dilation=dil)
+        params = lstm.init(jax.random.PRNGKey(dil))
+        x = jax.random.normal(jax.random.PRNGKey(10 + dil), (2, 7, 5, 6, 6))
+
+        out_wf, (h_wf, c_wf) = lstm.apply(params, x)  # wavefront path
+        zero = jnp.zeros((3, 2, 8, 6, 6))
+        out_legacy, (h_l, c_l) = lstm.apply(params, x, (zero, zero))
+
+        np.testing.assert_allclose(np.asarray(out_wf), np.asarray(out_legacy),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(h_wf), np.asarray(h_l),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(c_wf), np.asarray(c_l),
+                                   atol=1e-5, rtol=1e-5)
+
+
 def test_convlstm_gate_math_tiny():
     """1x1 kernel, 1x1 image: ConvLSTM reduces to a dense LSTM we can verify."""
     lstm = ConvRNN("LSTM", 1, 1, 1, ndim=2)
