@@ -44,6 +44,11 @@ def main():
                        coupling="mixlogcdf",
                        compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
                        remat=os.environ.get("BENCH_REMAT", "1") == "1",
+                       remat_mode=os.environ.get("BENCH_REMAT_MODE", "body"),
+                       remat_levels=(tuple(int(i) for i in
+                                     os.environ["BENCH_REMAT_LEVELS"].split(","))
+                                     if os.environ.get("BENCH_REMAT_LEVELS")
+                                     else None),
                        prior=os.environ.get("BENCH_PRIOR", "convlstm"),
                        num_blocks=int(os.environ.get("BENCH_NN_BLOCKS", 10)),
                        use_attention=os.environ.get("BENCH_ATTN", "1") == "1",

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -64,10 +64,21 @@ class MarScfConfig:
     # on the backward pass.
     scan_steps: bool = True
     remat: bool = True
+    # limit remat to specific levels (0-based); None = all levels when
+    # remat=True. Level 0 (largest spatial extent) holds most of the
+    # activation memory, so e.g. (0,) rematerializes only it and keeps the
+    # cheap levels' activations resident.
+    remat_levels: Optional[Tuple[int, ...]] = None
     # remat granularity: "" = recompute everything; "remat_ckpt" = keep the
     # named activations (coupling-block outputs) and recompute only within a
     # block on the backward pass.
     remat_save_names: str = "remat_ckpt"
+    # "body": jax.checkpoint around the whole K-step scan body with the
+    # named-save policy above. "blocks": per-ConvAttnBlock jax.checkpoint
+    # instead — same recompute granularity, but block boundaries are saved
+    # as ordinary scan values rather than named-save barrier copies (the
+    # barriers cost ~92 ms/step on TPU, scripts/profile_train.py).
+    remat_mode: str = "body"
     # "bfloat16" runs the coupling networks on the MXU in bf16 (log-det math
     # stays fp32); "float32" is the exact reference-precision path.
     compute_dtype: str = "float32"
@@ -88,7 +99,8 @@ class FlowStep:
             self.coupling = MixLogCDFCoupling(
                 channels, cfg.hidden_channels, num_blocks=cfg.num_blocks,
                 num_components=cfg.num_components, drop_prob=cfg.drop_prob,
-                compute_dtype=compute_dtype)
+                compute_dtype=compute_dtype,
+                block_remat=cfg.remat and cfg.remat_mode == "blocks")
             self.tuple_flip = TupleFlip()
         elif cfg.coupling == "affine":
             self.coupling = AffineCoupling(channels, channels, cfg.hidden_channels)
@@ -233,7 +245,10 @@ class MarScfFlow:
             z, logdet = fn(p_step, z, logdet, rng=key, train=train)
             return (z, logdet), None
 
-        if self.cfg.remat:
+        remat_this = (self.cfg.remat and self.cfg.remat_mode == "body"
+                      and (self.cfg.remat_levels is None
+                           or level_idx in self.cfg.remat_levels))
+        if remat_this:
             policy = None
             if self.cfg.remat_save_names:
                 policy = jax.checkpoint_policies.save_only_these_names(

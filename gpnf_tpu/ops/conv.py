@@ -150,11 +150,16 @@ class WNDense:
             p["b"] = jax.random.uniform(kb, (self.out_f,), minval=-bound, maxval=bound)
         return p
 
-    def apply(self, params, x):
+    def effective_weight(self, params, dtype=None):
+        """The weight-normalized (out, in) matrix; differentiable in v, g."""
         v = params["v"].astype(jnp.float32)
         norm = jnp.sqrt(jnp.sum(v**2, axis=-1))
         g = params["g"].astype(jnp.float32)
-        w = (v * (g / norm)[:, None]).astype(x.dtype)
+        w = v * (g / norm)[:, None]
+        return w.astype(dtype) if dtype is not None else w
+
+    def apply(self, params, x):
+        w = self.effective_weight(params, x.dtype)
         y = jnp.einsum("...i,oi->...o", x, w, preferred_element_type=jnp.float32)
         y = y.astype(x.dtype)
         if self.bias:

@@ -113,19 +113,20 @@ class GatedAttn:
         seq = x.reshape(b, h * w, c)
         seq = seq + sinusoidal_pos_enc(h * w, c, seq.dtype)
 
-        proj = self.in_proj.apply(params["in_proj"], seq)  # (B, S, 3C) [k|v|q]
-        # fused kernel on TPU: head split, scores+softmax+dropout+PV all stay
-        # in VMEM — neither the (B, n, S, S) weights/mask nor any
-        # (B, n, S, C/n) head-transposed copies ever touch HBM (the head
-        # split/merge copies alone were ~65 ms/step, scripts/profile_train.py);
-        # jnp path elsewhere.
-        from .pallas.fused_attention import fused_attention_qkv
+        # fused kernel on TPU: qkv projection + head split + scores + softmax
+        # + dropout + PV all inside one differentiation boundary — the
+        # (B, n, S, S) weights/mask and the (B, n, S, C/n) head copies never
+        # touch HBM, and the (B, S, 3C) projection is recomputed in backward
+        # rather than saved (the largest no-remat activation class,
+        # scripts/profile_train.py); jnp path elsewhere.
+        from .pallas.fused_attention import fused_attention_proj
 
+        w_in = self.in_proj.effective_weight(params["in_proj"])  # (3C, C)
         rate = self.drop_prob if (train and rng is not None) else 0.0
         seed = (jax.random.randint(rng, (1,), 0, 2**30, jnp.int32)
                 if rng is not None else jnp.zeros((1,), jnp.int32))
-        attn = fused_attention_qkv(seed, proj, self.num_heads, rate,
-                                   train).astype(x.dtype)
+        attn = fused_attention_proj(seed, seq, w_in, self.num_heads, rate,
+                                    train).astype(x.dtype)
         attn = attn.reshape(b, h, w, c)
 
         gated = self.gate.apply(params["gate"], attn)
@@ -150,7 +151,8 @@ class ConvAttnBlock:
             p["norm2"] = self.norm2.init(ks[3])
         return p
 
-    def apply(self, params, x, aux=None, *, rng=None, train=False):
+    def apply(self, params, x, aux=None, *, rng=None, train=False,
+              mark_ckpt=True):
         r1 = r2 = None
         if rng is not None:
             r1, r2 = jax.random.split(rng)
@@ -161,6 +163,8 @@ class ConvAttnBlock:
             x = self.attn.apply(params["attn"], x, rng=r2, train=train) + x
             x = self.norm2.apply(params["norm2"], x)
         x = x.transpose(0, 3, 1, 2)
+        if not mark_ckpt:
+            return x
         # block-granular remat boundary: under the scan-body checkpoint with
         # save_only_these_names, block outputs are kept (cheap: C channels)
         # so the backward pass recomputes at most one block, not the stack
@@ -177,7 +181,7 @@ class MixLogCDFNet:
 
     def __init__(self, in_ch: int, num_ch: int, num_blocks: int, num_components: int,
                  drop_prob: float, use_attn: bool = True, aux_ch=None,
-                 compute_dtype=None):
+                 compute_dtype=None, block_remat: bool = False):
         self.k = num_components
         self.in_ch = in_ch
         self.in_conv = WNConv2d(in_ch, num_ch, 3)
@@ -185,6 +189,11 @@ class MixLogCDFNet:
                        for _ in range(num_blocks)]
         self.out_conv = WNConv2d(num_ch, in_ch * (2 + 3 * self.k), 3)
         self.compute_dtype = compute_dtype
+        # per-block jax.checkpoint: block internals recompute in backward,
+        # block boundaries are saved as ordinary values (no named-save
+        # barriers — the scan-body save_only_these_names policy materializes
+        # "checkpoint" copy ops measured at ~92 ms/step on TPU)
+        self.block_remat = block_remat
 
     def init(self, key):
         ks = jax.random.split(key, len(self.blocks) + 3)
@@ -210,7 +219,13 @@ class MixLogCDFNet:
             net_params = params
         y = self.in_conv.apply(net_params["in_conv"], x)
         for blk, p, r in zip(self.blocks, net_params["blocks"], rngs):
-            y = blk.apply(p, y, aux, rng=r, train=train)
+            if self.block_remat:
+                def block_fn(pp, yy, aa, rr, blk=blk):
+                    return blk.apply(pp, yy, aa, rng=rr, train=train,
+                                     mark_ckpt=False)
+                y = jax.checkpoint(block_fn)(p, y, aux, r)
+            else:
+                y = blk.apply(p, y, aux, rng=r, train=train)
         y = self.out_conv.apply(net_params["out_conv"], y)
         y = y.astype(jnp.float32)  # log-density math stays fp32
 
@@ -226,10 +241,12 @@ class MixLogCDFNet:
 class MixLogCDFCoupling:
     def __init__(self, in_ch: int, mid_ch: int, num_blocks: int = 10,
                  num_components: int = 32, drop_prob: float = 0.2,
-                 use_attn: bool = True, aux_ch=None, compute_dtype=None):
+                 use_attn: bool = True, aux_ch=None, compute_dtype=None,
+                 block_remat: bool = False):
         self.net = MixLogCDFNet(in_ch // 2, mid_ch, num_blocks, num_components,
                                 drop_prob, use_attn, aux_ch,
-                                compute_dtype=compute_dtype)
+                                compute_dtype=compute_dtype,
+                                block_remat=block_remat)
 
     def init(self, key):
         return {"net": self.net.init(key)}

@@ -337,3 +337,63 @@ def _vjp_bwd_qkv(num_heads, rate, train, res, g):
 
 
 fused_attention_qkv.defvjp(_vjp_fwd_qkv, _vjp_bwd_qkv)
+
+
+# ---------------------------------------------------------------------------
+# Projection-fused variant: the qkv projection is folded into the op so the
+# BACKWARD recomputes it instead of the autodiff machinery saving the
+# (B, S, 3C) projection as a residual. Under no-remat training those saved
+# projections are the largest activation class (bf16[K,B,S,3C] buffers,
+# 192 MB each at CIFAR level 1 — the allocation that OOMed b256 no-remat);
+# saving (B, S, C) seq + one (3C, C) weight instead cuts that memory 3x for
+# one extra GEMM per block in the backward pass.
+# ---------------------------------------------------------------------------
+
+
+def _proj(seq, w):
+    y = jnp.einsum("bsc,oc->bso", seq, w.astype(seq.dtype),
+                   preferred_element_type=jnp.float32)
+    return y.astype(seq.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_attention_proj(seed, seq, w, num_heads: int, rate: float = 0.0,
+                         train: bool = False):
+    """fused_attention_qkv(seed, seq @ w^T, ...) with the projection inside
+    the differentiation boundary. seq (B, S, C); w (3C, C) effective
+    (weight-normalized) in_proj matrix, rows ordered [k | v | q]."""
+    eff_rate = rate if train else 0.0
+    qkv = _proj(seq, w)
+    if jax.default_backend() == "tpu" and seq.shape[1] <= MAX_S:
+        return _run_qkv(_fwd_kernel_qkv, seed, qkv, None, eff_rate, num_heads, 2)
+    return _reference_qkv(seed, qkv, num_heads, eff_rate, True)
+
+
+def _vjp_fwd_proj(seed, seq, w, num_heads, rate, train):
+    return fused_attention_proj(seed, seq, w, num_heads, rate, train), \
+        (seed, seq, w)
+
+
+def _vjp_bwd_proj(num_heads, rate, train, res, g):
+    import numpy as np
+
+    seed, seq, w = res
+    eff_rate = rate if train else 0.0
+    qkv = _proj(seq, w)  # recomputed, not saved
+    if jax.default_backend() == "tpu" and seq.shape[1] <= MAX_S:
+        dqkv = _run_qkv(_bwd_kernel_qkv, seed, qkv, g.astype(qkv.dtype),
+                        eff_rate, num_heads, 3)
+    else:
+        _, vjp = jax.vjp(lambda t: _reference_qkv(seed, t, num_heads,
+                                                  eff_rate, True), qkv)
+        (dqkv,) = vjp(g)
+    dqkv32 = dqkv.astype(jnp.float32)
+    dseq = jnp.einsum("bso,oc->bsc", dqkv32, w.astype(jnp.float32),
+                      preferred_element_type=jnp.float32).astype(seq.dtype)
+    dw = jnp.einsum("bso,bsc->oc", dqkv32, seq.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    seed_ct = np.zeros(seed.shape, jax.dtypes.float0)
+    return seed_ct, dseq, dw.astype(w.dtype)
+
+
+fused_attention_proj.defvjp(_vjp_fwd_proj, _vjp_bwd_proj)

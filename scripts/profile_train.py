@@ -18,6 +18,34 @@ import sys
 sys.path.insert(0, ".")
 
 
+def capture_sample(steps: int, trace_dir: str):
+    """Trace the full ancestral sampling path (reverse flow + AR priors)."""
+    import jax
+
+    from gpnf_tpu.utils.jax_setup import setup as jax_setup
+    jax_setup()
+    from gpnf_tpu.models.marscf import MarScfConfig, MarScfFlow
+    from gpnf_tpu.utils.jax_setup import init_on_cpu, to_default_device
+
+    batch = int(os.environ.get("BENCH_BATCH", 64))
+    cfg = MarScfConfig(image_shape=(32, 32, 3), L=3, K=4, hidden_channels=96,
+                       coupling="mixlogcdf", compute_dtype="bfloat16")
+    model = MarScfFlow(cfg)
+    params = to_default_device(init_on_cpu(model.init, jax.random.PRNGKey(0)))
+    sample = jax.jit(lambda p, r: model.sample(p, r, batch=batch, eps_std=1.0))
+    out = sample(params, jax.random.PRNGKey(1))
+    jax.block_until_ready(out)
+    jax.profiler.start_trace(trace_dir)
+    rng = jax.random.PRNGKey(2)
+    for i in range(steps):
+        rng, sub = jax.random.split(rng)
+        out = sample(params, sub)
+    jax.block_until_ready(out)
+    jax.profiler.stop_trace()
+    print(f"# sampling trace: {steps} batches of {batch} -> {trace_dir}",
+          file=sys.stderr)
+
+
 def capture(steps: int, trace_dir: str):
     import jax
     import jax.numpy as jnp
@@ -120,10 +148,14 @@ def main():
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--trace_dir", default="/tmp/gpnf_xprof")
     ap.add_argument("--report_only", action="store_true")
+    ap.add_argument("--mode", choices=("train", "sample"), default="train")
     args = ap.parse_args()
     if not args.report_only:
         os.makedirs(args.trace_dir, exist_ok=True)
-        capture(args.steps, args.trace_dir)
+        if args.mode == "sample":
+            capture_sample(args.steps, args.trace_dir)
+        else:
+            capture(args.steps, args.trace_dir)
     report(args.trace_dir, args.top, args.steps)
 
 

@@ -134,6 +134,30 @@ def test_fused_attention_qkv_grads_match_reference():
                                atol=1e-5)
 
 
+def test_fused_attention_proj_grads_match_composed():
+    """fused_attention_proj(seq, w) == fused_attention_qkv(seq @ w^T), values
+    and gradients (incl. dW through the folded projection)."""
+    seq = jax.random.normal(jax.random.PRNGKey(5), (2, 32, 48)) * 0.5
+    w = jax.random.normal(jax.random.PRNGKey(6), (3 * 48, 48)) * 0.2
+    seed = jnp.zeros((1,), jnp.int32)
+
+    out = fa.fused_attention_proj(seed, seq, w, 4, 0.0, False)
+    want = fa._reference_qkv(seed, jnp.einsum("bsc,oc->bso", seq, w), 4, 0.0,
+                             False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-4,
+                               atol=1e-5)
+
+    g1 = jax.grad(lambda s, ww: jnp.sum(
+        fa.fused_attention_proj(seed, s, ww, 4, 0.0, False) ** 2),
+        argnums=(0, 1))(seq, w)
+    g2 = jax.grad(lambda s, ww: jnp.sum(
+        fa._reference_qkv(seed, jnp.einsum("bsc,oc->bso", s, ww), 4, 0.0,
+                          False) ** 2), argnums=(0, 1))(seq, w)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-4)
+
+
 def test_gated_attn_uses_fused_path():
     """GatedAttn end-to-end still matches the reference parity expectations
     (covered in test_reference_parity); here check shape/dtype and train-mode
