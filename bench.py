@@ -45,6 +45,7 @@ def main():
                        compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
                        remat=os.environ.get("BENCH_REMAT", "1") == "1",
                        remat_mode=os.environ.get("BENCH_REMAT_MODE", "body"),
+                       scan_steps=os.environ.get("BENCH_SCAN", "1") == "1",
                        remat_levels=(tuple(int(i) for i in
                                      os.environ["BENCH_REMAT_LEVELS"].split(","))
                                      if os.environ.get("BENCH_REMAT_LEVELS")

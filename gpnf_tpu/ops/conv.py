@@ -15,8 +15,13 @@ _DIMNUMS = ("NCHW", "OIHW", "NCHW")
 
 
 def conv2d(x: jax.Array, w: jax.Array, b=None, *, stride=1, padding="SAME",
-           dilation=1) -> jax.Array:
-    """NCHW conv. Weight layout OIHW. preferred fp32 accumulation on MXU."""
+           dilation=1, layout: str = "NCHW") -> jax.Array:
+    """2-D conv. Weight layout OIHW. preferred fp32 accumulation on MXU.
+
+    layout="NHWC" runs channel-last — the TPU-native layout: XLA lowers
+    NCHW convs by transposing operands, and those relayout copies dominate
+    flow-model step time (docs/BENCHMARKS.md round-2 anatomy).
+    """
     if isinstance(stride, int):
         stride = (stride, stride)
     if isinstance(dilation, int):
@@ -25,13 +30,14 @@ def conv2d(x: jax.Array, w: jax.Array, b=None, *, stride=1, padding="SAME",
     # on the MXU natively and an explicit preferred type breaks the conv
     # transpose rule under AD.
     preferred = jnp.float32 if x.dtype == jnp.float32 else None
+    dimnums = _DIMNUMS if layout == "NCHW" else ("NHWC", "OIHW", "NHWC")
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=stride, padding=padding,
-        rhs_dilation=dilation, dimension_numbers=_DIMNUMS,
+        rhs_dilation=dilation, dimension_numbers=dimnums,
         preferred_element_type=preferred,
     )
     if b is not None:
-        y = y + b.reshape(1, -1, 1, 1)
+        y = y + (b.reshape(1, -1, 1, 1) if layout == "NCHW" else b)
     return y.astype(x.dtype)
 
 
@@ -122,12 +128,12 @@ class WNConv2d:
             p["b"] = jax.random.uniform(kb, (self.out_ch,), minval=-bound, maxval=bound)
         return p
 
-    def apply(self, params, x):
+    def apply(self, params, x, *, layout: str = "NCHW"):
         v = params["v"].astype(jnp.float32)  # weight norm in fp32 under bf16
         norm = jnp.sqrt(jnp.sum(v.reshape(v.shape[0], -1) ** 2, axis=-1))
         g = params["g"].astype(jnp.float32)
         w = (v * (g / norm).reshape(-1, 1, 1, 1)).astype(x.dtype)
-        return conv2d(x, w, params.get("b"))
+        return conv2d(x, w, params.get("b"), layout=layout)
 
 
 class WNDense:

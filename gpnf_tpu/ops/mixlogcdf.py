@@ -25,11 +25,12 @@ def concat_elu(x, axis=1):
     return jax.nn.elu(jnp.concatenate([x, -x], axis=axis))
 
 
-def _dropout(rng, x, rate, train, *, channelwise=False):
+def _dropout(rng, x, rate, train, *, channelwise=False, layout="NCHW"):
     if not train or rate == 0.0 or rng is None:
         return x
     if channelwise:  # torch Dropout2d: zero whole (C,) feature maps
-        shape = (x.shape[0], x.shape[1], 1, 1)
+        shape = ((x.shape[0], x.shape[1], 1, 1) if layout == "NCHW"
+                 else (x.shape[0], 1, 1, x.shape[3]))
     else:
         shape = x.shape
     keep = jax.random.bernoulli(rng, 1.0 - rate, shape)
@@ -55,7 +56,11 @@ class LayerNorm:
 
 
 class GatedConv:
-    """PixelCNN++ gated residual conv: concat-ELU -> 3x3 -> concat-ELU -> 1x1 GLU."""
+    """PixelCNN++ gated residual conv: concat-ELU -> 3x3 -> concat-ELU -> 1x1 GLU.
+
+    Runs in either layout; the coupling network uses NHWC end-to-end on TPU
+    (channel axis = -1) so no conv relayouts are needed.
+    """
 
     def __init__(self, num_ch: int, drop_prob: float = 0.0, aux_ch=None):
         self.nc = num_ch
@@ -71,14 +76,19 @@ class GatedConv:
             p["aux"] = self.aux_conv.init(ks[2])
         return p
 
-    def apply(self, params, x, aux=None, *, rng=None, train=False):
-        h = self.conv.apply(params["conv"], concat_elu(x))
+    def apply(self, params, x, aux=None, *, rng=None, train=False,
+              layout="NCHW"):
+        ch_axis = 1 if layout == "NCHW" else -1
+        h = self.conv.apply(params["conv"], concat_elu(x, ch_axis),
+                            layout=layout)
         if aux is not None and self.aux_conv is not None:
-            h = h + self.aux_conv.apply(params["aux"], concat_elu(aux))
-        h = concat_elu(h)
-        h = _dropout(rng, h, self.drop_prob, train, channelwise=True)
-        h = self.gate.apply(params["gate"], h)
-        a, b = jnp.split(h, 2, axis=1)
+            h = h + self.aux_conv.apply(params["aux"], concat_elu(aux, ch_axis),
+                                        layout=layout)
+        h = concat_elu(h, ch_axis)
+        h = _dropout(rng, h, self.drop_prob, train, channelwise=True,
+                     layout=layout)
+        h = self.gate.apply(params["gate"], h, layout=layout)
+        a, b = jnp.split(h, 2, axis=ch_axis)
         return a * jax.nn.sigmoid(b)
 
 
@@ -152,17 +162,23 @@ class ConvAttnBlock:
         return p
 
     def apply(self, params, x, aux=None, *, rng=None, train=False,
-              mark_ckpt=True):
+              mark_ckpt=True, layout="NCHW"):
+        """layout="NHWC": x is channel-last throughout — convs run in the
+        TPU-native layout and the per-block NCHW<->NHWC transposes (2 HBM
+        relayouts per block) disappear."""
         r1 = r2 = None
         if rng is not None:
             r1, r2 = jax.random.split(rng)
-        x = self.conv.apply(params["conv"], x, aux, rng=r1, train=train) + x
-        x = x.transpose(0, 2, 3, 1)  # NCHW -> NHWC for the norms/attention
+        x = self.conv.apply(params["conv"], x, aux, rng=r1, train=train,
+                            layout=layout) + x
+        if layout == "NCHW":
+            x = x.transpose(0, 2, 3, 1)  # NCHW -> NHWC for norms/attention
         x = self.norm1.apply(params["norm1"], x)
         if self.use_attn:
             x = self.attn.apply(params["attn"], x, rng=r2, train=train) + x
             x = self.norm2.apply(params["norm2"], x)
-        x = x.transpose(0, 3, 1, 2)
+        if layout == "NCHW":
+            x = x.transpose(0, 3, 1, 2)
         if not mark_ckpt:
             return x
         # block-granular remat boundary: under the scan-body checkpoint with
@@ -217,16 +233,23 @@ class MixLogCDFNet:
                 aux = aux.astype(self.compute_dtype)
         else:
             net_params = params
-        y = self.in_conv.apply(net_params["in_conv"], x)
+        # the whole stack runs channel-last (TPU-native): ONE relayout here
+        # and one at the exit instead of NCHW conv relayouts + 2 transposes
+        # per block (docs/BENCHMARKS.md round-2 step anatomy)
+        x = x.transpose(0, 2, 3, 1)
+        if aux is not None:
+            aux = aux.transpose(0, 2, 3, 1)
+        y = self.in_conv.apply(net_params["in_conv"], x, layout="NHWC")
         for blk, p, r in zip(self.blocks, net_params["blocks"], rngs):
             if self.block_remat:
                 def block_fn(pp, yy, aa, rr, blk=blk):
                     return blk.apply(pp, yy, aa, rng=rr, train=train,
-                                     mark_ckpt=False)
+                                     mark_ckpt=False, layout="NHWC")
                 y = jax.checkpoint(block_fn)(p, y, aux, r)
             else:
-                y = blk.apply(p, y, aux, rng=r, train=train)
-        y = self.out_conv.apply(net_params["out_conv"], y)
+                y = blk.apply(p, y, aux, rng=r, train=train, layout="NHWC")
+        y = self.out_conv.apply(net_params["out_conv"], y, layout="NHWC")
+        y = y.transpose(0, 3, 1, 2)
         y = y.astype(jnp.float32)  # log-density math stays fp32
 
         y = y.reshape(b, 2 + 3 * self.k, c, h, w)

@@ -201,55 +201,71 @@ fused_attention.defvjp(_vjp_fwd, _vjp_bwd)
 # ---------------------------------------------------------------------------
 
 
+def _batch_block(b, s):
+    """Batch rows per program: amortize DMA/grid overhead (a (1, S, 3C)
+    block is a ~150 KB transfer and a handful of thin-K dots — measured
+    0.26-0.43 ms/launch) while keeping per-head fp32 score scratch
+    (~6 x MB x S x S x 4B in the bwd kernel) well inside VMEM."""
+    # the bwd kernel keeps ~6-7 (MB, S, S) fp32 buffers live against the
+    # 16 MB scoped-vmem stack limit -> cap one buffer at ~1.5 MB
+    budget = 3 * 512 * 1024
+    mb = max(1, min(32, budget // (s * s * 4)))
+    while b % mb:
+        mb -= 1
+    return mb
+
+
 def _dot(a, b, dims):
-    return jax.lax.dot_general(a, b, (dims, ((), ())),
+    """Batched 2D dot: batch dim 0 (the only position Mosaic supports)."""
+    (lc, rc) = dims
+    return jax.lax.dot_general(a, b, ((lc, rc), ((0,), (0,))),
                                preferred_element_type=jnp.float32)
 
 
 def _fwd_kernel_qkv(seed_ref, qkv_ref, o_ref, *, rate, heads):
-    """Heads processed as an unrolled loop of 2D lane-sliced dots: Mosaic
-    supports neither lane-splitting shape casts nor batch dims off position
-    0, but static lane slices + plain matmuls lower cleanly. The per-head
-    slices/concat stay in VMEM — the whole point of the packed layout."""
+    """Heads processed as an unrolled loop of lane-sliced batched dots:
+    Mosaic supports neither lane-splitting shape casts nor batch dims off
+    position 0, but static lane slices + batch-0 dots lower cleanly. The
+    per-head slices/concat stay in VMEM — the point of the packed layout."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    qkv = qkv_ref[0]  # (S, 3C) [k|v|q]
-    c = qkv.shape[1] // 3
+    qkv = qkv_ref[...]  # (MB, S, 3C) [k|v|q]
+    c = qkv.shape[2] // 3
     dh = c // heads
     if rate > 0.0:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     for h in range(heads):
         lo = h * dh
-        k = qkv[:, lo:lo + dh]
-        v = qkv[:, c + lo:c + lo + dh]
-        q = qkv[:, 2 * c + lo:2 * c + lo + dh] * (dh ** -0.5)
-        s = _dot(q, k, (((1,), (1,))))  # (S, S)
+        k = qkv[:, :, lo:lo + dh]
+        v = qkv[:, :, c + lo:c + lo + dh]
+        q = qkv[:, :, 2 * c + lo:2 * c + lo + dh] * (dh ** -0.5)
+        s = _dot(q, k, (((2,), (2,))))  # (MB, S, S)
         p = _softmax_last(s)
         if rate > 0.0:
             keep = _dropout_keep(p.shape, rate)
             p = jnp.where(keep, p / (1.0 - rate), 0.0)
-        o = _dot(p.astype(v.dtype), v, (((1,), (0,))))
-        o_ref[0, :, lo:lo + dh] = o.astype(o_ref.dtype)
+        o = _dot(p.astype(v.dtype), v, (((2,), (1,))))
+        o_ref[:, :, lo:lo + dh] = o.astype(o_ref.dtype)
 
 
 def _bwd_kernel_qkv(seed_ref, qkv_ref, g_ref, dqkv_ref, *, rate, heads):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    qkv = qkv_ref[0]
-    c = qkv.shape[1] // 3
+    qkv = qkv_ref[...]  # (MB, S, 3C)
+    c = qkv.shape[2] // 3
     dh = c // heads
     if rate > 0.0:
         # same seed and same per-head generation order as the forward kernel
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     for h in range(heads):
         lo = h * dh
-        k = qkv[:, lo:lo + dh]
-        v = qkv[:, c + lo:c + lo + dh]
-        q = qkv[:, 2 * c + lo:2 * c + lo + dh] * (dh ** -0.5)
-        g = g_ref[0, :, lo:lo + dh].astype(jnp.float32)
-        s = _dot(q, k, (((1,), (1,))))
+        k = qkv[:, :, lo:lo + dh]
+        v = qkv[:, :, c + lo:c + lo + dh]
+        q = qkv[:, :, 2 * c + lo:2 * c + lo + dh] * (dh ** -0.5)
+        g = g_ref[:, :, lo:lo + dh].astype(jnp.float32)
+        s = _dot(q, k, (((2,), (2,))))
         p = _softmax_last(s)
         if rate > 0.0:
             keep = _dropout_keep(p.shape, rate)
@@ -258,15 +274,15 @@ def _bwd_kernel_qkv(seed_ref, qkv_ref, g_ref, dqkv_ref, *, rate, heads):
             pd = p
         # dV = Pd^T g; dPd = g V^T; dS = P*(dP - rowsum(dP*P));
         # dQs = dS K; dK = dS^T Qs (Qs = scaled q; chain scale into dQ)
-        dv = _dot(pd, g, (((0,), (0,))))
-        dpd = _dot(g, v.astype(jnp.float32), (((1,), (1,))))
+        dv = _dot(pd, g, (((1,), (1,))))
+        dpd = _dot(g, v.astype(jnp.float32), (((2,), (2,))))
         dp = jnp.where(keep, dpd / (1.0 - rate), 0.0) if rate > 0.0 else dpd
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dq = _dot(ds, k.astype(jnp.float32), (((1,), (0,)))) * (dh ** -0.5)
-        dk = _dot(ds, q, (((0,), (0,))))
-        dqkv_ref[0, :, lo:lo + dh] = dk.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, c + lo:c + lo + dh] = dv.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, 2 * c + lo:2 * c + lo + dh] = dq.astype(dqkv_ref.dtype)
+        dq = _dot(ds, k.astype(jnp.float32), (((2,), (1,)))) * (dh ** -0.5)
+        dk = _dot(ds, q, (((1,), (1,))))
+        dqkv_ref[:, :, lo:lo + dh] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, c + lo:c + lo + dh] = dv.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, 2 * c + lo:2 * c + lo + dh] = dq.astype(dqkv_ref.dtype)
 
 
 def _run_qkv(kernel, seed, qkv, g, rate, heads, n_in):
@@ -274,20 +290,21 @@ def _run_qkv(kernel, seed, qkv, g, rate, heads, n_in):
     from jax.experimental.pallas import tpu as pltpu
 
     b, s, c3 = qkv.shape
+    mb = _batch_block(b, s)
     seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    full = pl.BlockSpec((1, s, c3), lambda i: (i, 0, 0),
+    full = pl.BlockSpec((mb, s, c3), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
-    third = pl.BlockSpec((1, s, c3 // 3), lambda i: (i, 0, 0),
+    third = pl.BlockSpec((mb, s, c3 // 3), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     if g is None:
         return pl.pallas_call(
             functools.partial(kernel, rate=rate, heads=heads),
-            grid=(b,), in_specs=[seed_spec, full], out_specs=third,
+            grid=(b // mb,), in_specs=[seed_spec, full], out_specs=third,
             out_shape=jax.ShapeDtypeStruct((b, s, c3 // 3), qkv.dtype),
         )(seed, qkv)
     return pl.pallas_call(
         functools.partial(kernel, rate=rate, heads=heads),
-        grid=(b,), in_specs=[seed_spec, full, third], out_specs=full,
+        grid=(b // mb,), in_specs=[seed_spec, full, third], out_specs=full,
         out_shape=jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
     )(seed, qkv, g)
 
