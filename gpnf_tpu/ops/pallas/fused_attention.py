@@ -264,7 +264,7 @@ def _bwd_kernel_qkv(seed_ref, qkv_ref, g_ref, dqkv_ref, *, rate, heads):
         k = qkv[:, :, lo:lo + dh]
         v = qkv[:, :, c + lo:c + lo + dh]
         q = qkv[:, :, 2 * c + lo:2 * c + lo + dh] * (dh ** -0.5)
-        g = g_ref[:, :, lo:lo + dh].astype(jnp.float32)
+        g = g_ref[:, :, lo:lo + dh]  # stays bf16: matmul operand
         s = _dot(q, k, (((2,), (2,))))
         p = _softmax_last(s)
         if rate > 0.0:
@@ -273,13 +273,19 @@ def _bwd_kernel_qkv(seed_ref, qkv_ref, g_ref, dqkv_ref, *, rate, heads):
         else:
             pd = p
         # dV = Pd^T g; dPd = g V^T; dS = P*(dP - rowsum(dP*P));
-        # dQs = dS K; dK = dS^T Qs (Qs = scaled q; chain scale into dQ)
-        dv = _dot(pd, g, (((1,), (1,))))
-        dpd = _dot(g, v.astype(jnp.float32), (((2,), (2,))))
+        # dQs = dS K; dK = dS^T Qs (Qs = scaled q; chain scale into dQ).
+        # Matmul OPERANDS are cast to the input dtype (bf16): MXU runs
+        # bf16 x bf16 -> fp32-accumulate at full rate, while fp32 operands
+        # drop to the fp32 rate — measured 0.35 ms/launch at S=256. The
+        # softmax/ds elementwise math stays fp32.
+        in_dt = qkv.dtype
+        dv = _dot(pd.astype(in_dt), g, (((1,), (1,))))
+        dpd = _dot(g, v, (((2,), (2,))))
         dp = jnp.where(keep, dpd / (1.0 - rate), 0.0) if rate > 0.0 else dpd
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dq = _dot(ds, k.astype(jnp.float32), (((2,), (1,)))) * (dh ** -0.5)
-        dk = _dot(ds, q, (((1,), (1,))))
+        ds = ds.astype(in_dt)
+        dq = _dot(ds, k, (((2,), (1,)))) * (dh ** -0.5)
+        dk = _dot(ds, q.astype(in_dt), (((1,), (1,))))
         dqkv_ref[:, :, lo:lo + dh] = dk.astype(dqkv_ref.dtype)
         dqkv_ref[:, :, c + lo:c + lo + dh] = dv.astype(dqkv_ref.dtype)
         dqkv_ref[:, :, 2 * c + lo:2 * c + lo + dh] = dq.astype(dqkv_ref.dtype)
