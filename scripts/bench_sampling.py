@@ -31,11 +31,15 @@ def main():
     jax.block_until_ready(xs)
     compile_s = time.time() - t0
 
-    reps = 5
+    reps = int(os.environ.get("BENCH_REPS", 10))
+    # pre-split keys on device: the timed loop issues pure async dispatches
+    # with no eager tunnel ops between them (a host-side split per rep costs
+    # an RTT each over the axon tunnel)
+    subs = jax.random.split(rng, reps)
+    jax.block_until_ready(subs)
     t0 = time.time()
     for i in range(reps):
-        rng, sub = jax.random.split(rng)
-        xs = sample(params, sub)
+        xs = sample(params, subs[i])
     jax.block_until_ready(xs)
     dt = (time.time() - t0) / reps
 
