@@ -207,8 +207,9 @@ def _batch_block(b, s):
     0.26-0.43 ms/launch) while keeping per-head fp32 score scratch
     (~6 x MB x S x S x 4B in the bwd kernel) well inside VMEM."""
     # the bwd kernel keeps ~6-7 (MB, S, S) fp32 buffers live against the
-    # 16 MB scoped-vmem stack limit -> cap one buffer at ~1.5 MB
-    budget = 3 * 512 * 1024
+    # 16 MB scoped-vmem stack limit -> cap one buffer at ~2 MB (MB=8 at
+    # S=256 measured OK; 4 MB/buffer OOMed the scoped stack)
+    budget = 2 * 1024 * 1024
     mb = max(1, min(32, budget // (s * s * 4)))
     while b % mb:
         mb -= 1
