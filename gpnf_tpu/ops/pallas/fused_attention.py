@@ -201,15 +201,19 @@ fused_attention.defvjp(_vjp_fwd, _vjp_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _batch_block(b, s):
+def _batch_block(b, s, dtype):
     """Batch rows per program: amortize DMA/grid overhead (a (1, S, 3C)
     block is a ~150 KB transfer and a handful of thin-K dots — measured
     0.26-0.43 ms/launch) while keeping per-head fp32 score scratch
     (~6 x MB x S x S x 4B in the bwd kernel) well inside VMEM."""
     # the bwd kernel keeps ~6-7 (MB, S, S) fp32 buffers live against the
     # 16 MB scoped-vmem stack limit -> cap one buffer at ~2 MB (MB=8 at
-    # S=256 measured OK; 4 MB/buffer OOMed the scoped stack)
+    # S=256 bf16 measured OK; 4 MB/buffer OOMed the scoped stack). fp32
+    # inputs double the in/out block footprint -> halve the budget (fp32
+    # at MB=8/S=256 OOMed at 22 M).
     budget = 2 * 1024 * 1024
+    if jnp.dtype(dtype).itemsize >= 4:
+        budget //= 2
     mb = max(1, min(32, budget // (s * s * 4)))
     while b % mb:
         mb -= 1
@@ -297,7 +301,7 @@ def _run_qkv(kernel, seed, qkv, g, rate, heads, n_in):
     from jax.experimental.pallas import tpu as pltpu
 
     b, s, c3 = qkv.shape
-    mb = _batch_block(b, s)
+    mb = _batch_block(b, s, qkv.dtype)
     seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     full = pl.BlockSpec((mb, s, c3), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)

@@ -29,6 +29,12 @@ def main():
                    help="evaluate + sample from the best checkpoint")
     p.add_argument("--checkpoint_dir", default="./checkpoints")
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="coupling-net/prior compute dtype (log-det math is "
+                        "always fp32); bfloat16 is the fast TPU path "
+                        "(docs/BENCHMARKS.md), float32 the exact "
+                        "reference-precision path")
     args = p.parse_args()
 
     from gpnf_tpu.utils.jax_setup import setup as jax_setup
@@ -38,7 +44,8 @@ def main():
 
     model_cfg = MarScfConfig(L=args.L, K=args.K, hidden_channels=args.C,
                              coupling=args.coupling,
-                             use_attention=not args.no_attention)
+                             use_attention=not args.no_attention,
+                             compute_dtype=args.compute_dtype)
     train_cfg = TrainConfig(dataset=args.dataset_name, data_root=args.data_root,
                             batch_size=args.batch_size, warm_up=args.warm_up,
                             epochs=args.epochs, max_steps=args.max_steps,
