@@ -61,7 +61,9 @@ def capture(steps: int, trace_dir: str):
     batch = int(os.environ.get("BENCH_BATCH", 256))
     cfg = MarScfConfig(image_shape=(32, 32, 3), L=3, K=4, hidden_channels=96,
                        coupling="mixlogcdf", compute_dtype="bfloat16",
-                       remat=True, prior=os.environ.get("BENCH_PRIOR", "convlstm"),
+                       remat=os.environ.get("BENCH_REMAT", "1") == "1",
+                       remat_mode=os.environ.get("BENCH_REMAT_MODE", "body"),
+                       prior=os.environ.get("BENCH_PRIOR", "convlstm"),
                        num_blocks=10, use_attention=True, drop_prob=0.2)
     model = MarScfFlow(cfg)
     rng = jax.random.PRNGKey(0)
