@@ -29,10 +29,11 @@ def _same_pad(k: int, d: int) -> Tuple[int, int]:
     return (total // 2, total - total // 2)
 
 
-def _convnd(x, w, b=None, *, dilation=1, ndim=2, groups=1):
+def _convnd(x, w, b=None, *, dilation=1, ndim=2, groups=1, stride=1):
     """N-d conv with reference-matching same padding; x (B, C, *sp), w (O, I, *k)."""
     k = w.shape[2:]
     dil = (dilation,) * ndim if isinstance(dilation, int) else tuple(dilation)
+    strides = (stride,) * ndim if isinstance(stride, int) else tuple(stride)
     pads = [_same_pad(kk, dd) for kk, dd in zip(k, dil)]
     spec = {1: ("NCH", "OIH", "NCH"), 2: ("NCHW", "OIHW", "NCHW"),
             3: ("NCDHW", "OIDHW", "NCDHW")}[ndim]
@@ -41,7 +42,7 @@ def _convnd(x, w, b=None, *, dilation=1, ndim=2, groups=1):
     # transpose rule under AD (fp32 cotangent vs bf16 operand; see ops/conv.py)
     preferred = jnp.float32 if x.dtype == jnp.float32 else None
     y = jax.lax.conv_general_dilated(
-        x, w, window_strides=(1,) * ndim, padding=pads, rhs_dilation=dil,
+        x, w, window_strides=strides, padding=pads, rhs_dilation=dil,
         dimension_numbers=spec, feature_group_count=groups,
         preferred_element_type=preferred)
     if b is not None:

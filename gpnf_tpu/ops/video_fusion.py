@@ -225,6 +225,97 @@ class EPABSpatioTemporal:
         return self.block.apply(params["block"], f, act_weights) + f
 
 
+class DeformKernelConv:
+    """Deformable-KERNEL conv (AIM2020 `DeformKernelConv2d`, unresolvable
+    import at operations.py:19): the learned (2, k, k) offsets displace the
+    k x k sampling grid INSIDE a scope x scope weight bank, and the
+    effective kernel is the bank bilinearly resampled at those positions —
+    deformation in weight space, not feature space. Grouped conv after
+    resampling; offsets init to zero (regular grid over the bank)."""
+
+    def __init__(self, scope, in_ch: int, out_ch: int, k: int = 3,
+                 groups: int = 1):
+        self.scope = scope if isinstance(scope, tuple) else (scope, scope)
+        self.in_ch, self.out_ch, self.k, self.groups = in_ch, out_ch, k, groups
+
+    def init(self, key):
+        sh, sw = self.scope
+        fan = (self.in_ch // self.groups) * sh * sw
+        bound = 1.0 / math.sqrt(fan)
+        kw, kb = jax.random.split(key)
+        return {
+            "bank": jax.random.uniform(
+                kw, (self.out_ch, self.in_ch // self.groups, sh, sw),
+                minval=-bound, maxval=bound),
+            "b": jax.random.uniform(kb, (self.out_ch,), minval=-bound,
+                                    maxval=bound),
+            "offsets": jnp.zeros((2, self.k, self.k)),
+        }
+
+    def effective_kernel(self, params):
+        sh, sw = self.scope
+        base_y = jnp.linspace(0.0, sh - 1.0, self.k)
+        base_x = jnp.linspace(0.0, sw - 1.0, self.k)
+        gy = base_y[:, None] + params["offsets"][0]
+        gx = base_x[None, :] + params["offsets"][1]
+        y0 = jnp.clip(jnp.floor(gy), 0, sh - 1)
+        x0 = jnp.clip(jnp.floor(gx), 0, sw - 1)
+        y1 = jnp.clip(y0 + 1, 0, sh - 1)
+        x1 = jnp.clip(x0 + 1, 0, sw - 1)
+        wy = jnp.clip(gy - y0, 0.0, 1.0)
+        wx = jnp.clip(gx - x0, 0.0, 1.0)
+        bank = params["bank"]  # (O, I/g, sh, sw)
+
+        def at(yi, xi):  # gather (O, I/g, k, k) values at integer grid
+            return bank[:, :, yi.astype(jnp.int32), xi.astype(jnp.int32)]
+
+        return ((1 - wy) * (1 - wx) * at(y0, x0) + (1 - wy) * wx * at(y0, x1)
+                + wy * (1 - wx) * at(y1, x0) + wy * wx * at(y1, x1))
+
+    def apply(self, params, x):
+        w = self.effective_kernel(params)
+        return _convnd(x, w, params["b"], ndim=2, groups=self.groups)
+
+
+class DKSpatialAttention:
+    """DK_spatial_attention_v2 (operations.py:700-728) with its constructor
+    bug fixed (the reference reads self.nf/self.num_frames before
+    assignment, so the class cannot be built even with its deps): fusion
+    conv over stacked frames, gated by a strided conv -> 5 depthwise
+    deformable-kernel convs -> pixel-shuffle x2 -> sigmoid map."""
+
+    def __init__(self, nf: int = 64, num_frames: int = 5):
+        self.nf, self.n = nf, num_frames
+        self.dkcs = [DeformKernelConv((4, 4), nf, nf, 3, groups=nf)
+                     for _ in range(5)]
+
+    def init(self, key):
+        ks = iter(jax.random.split(key, 10))
+        return {
+            "fusion": _conv_init(next(ks), self.nf, self.nf * self.n, 3),
+            "down": _conv_init(next(ks), self.nf, self.nf, 3),
+            "dkcs": [d.init(next(ks)) for d in self.dkcs],
+            "up": _conv_init(next(ks), 4 * self.nf, self.nf, 3),
+            "out": _conv_init(next(ks), 1, self.nf, 1),
+        }
+
+    def apply(self, params, x):
+        """x (B, T, C, H, W) -> (B, C, H, W), H/W even."""
+        b, t, c, h, w = x.shape
+        x = _conv(params["fusion"], x.reshape(b, t * c, h, w))
+        a = jax.nn.relu(_convnd(x, params["down"]["w"], params["down"]["b"],
+                                ndim=2, stride=2))
+        for d, p in zip(self.dkcs, params["dkcs"]):
+            a = jax.nn.relu(d.apply(p, a))
+        a = _conv(params["up"], a)  # (B, 4nf, H/2, W/2)
+        # PixelShuffle(2): (B, C*4, H, W) -> (B, C, 2H, 2W)
+        bb, c4, hh, ww = a.shape
+        a = a.reshape(bb, c4 // 4, 2, 2, hh, ww)
+        a = a.transpose(0, 1, 4, 2, 5, 3).reshape(bb, c4 // 4, 2 * hh, 2 * ww)
+        a = jax.nn.sigmoid(_conv(params["out"], a))
+        return x * a
+
+
 class TSAFusion:
     """Temporal (correlation) + spatial (pyramid) attention fusion
     (operations.py:744-817)."""

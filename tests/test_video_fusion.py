@@ -196,6 +196,49 @@ def test_epab_nas_act_weights():
     assert out.shape == x.shape and np.isfinite(np.asarray(out)).all()
 
 
+def test_deform_kernel_conv_integer_offsets():
+    """Zero offsets sample the bank at the regular k-grid over the scope;
+    offsets moving the grid to integer bank positions reproduce direct
+    bank entries (bilinear weights collapse to 1)."""
+    from gpnf_tpu.ops.video_fusion import DeformKernelConv
+
+    dkc = DeformKernelConv((4, 4), 4, 4, 3, groups=1)
+    p = dkc.init(jax.random.PRNGKey(0))
+    # move the middle row/col sample (base 1.5) to integer position 2
+    offs = np.zeros((2, 3, 3), np.float32)
+    offs[0, 1, :] = 0.5
+    offs[1, :, 1] = 0.5
+    p2 = dict(p, offsets=jnp.asarray(offs))
+    w = np.asarray(dkc.effective_kernel(p2))
+    bank = np.asarray(p["bank"])
+    np.testing.assert_allclose(w[..., 0, 0], bank[..., 0, 0], rtol=1e-6)
+    np.testing.assert_allclose(w[..., 1, 1], bank[..., 2, 2], rtol=1e-6)
+    np.testing.assert_allclose(w[..., 2, 2], bank[..., 3, 3], rtol=1e-6)
+    # zero offsets: corner taps == bank corners, center = 4-point average
+    w0 = np.asarray(dkc.effective_kernel(p))
+    np.testing.assert_allclose(w0[..., 0, 0], bank[..., 0, 0], rtol=1e-6)
+    np.testing.assert_allclose(
+        w0[..., 1, 1],
+        0.25 * (bank[..., 1, 1] + bank[..., 1, 2] + bank[..., 2, 1]
+                + bank[..., 2, 2]), rtol=1e-5)
+
+
+def test_dk_spatial_attention_shapes_and_grads():
+    from gpnf_tpu.ops.video_fusion import DKSpatialAttention
+
+    nf, n, b, h, w = 8, 3, 2, 8, 8
+    m = DKSpatialAttention(nf=nf, num_frames=n)
+    p = m.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, n, nf, h, w))
+    out = jax.jit(m.apply)(p, x)
+    assert out.shape == (b, nf, h, w)
+    assert np.isfinite(np.asarray(out)).all()
+    g = jax.grad(lambda pp: jnp.sum(m.apply(pp, x) ** 2))(p)
+    # gradients reach the deformable-kernel offsets (the point of DKC)
+    off_g = np.asarray(g["dkcs"][0]["offsets"])
+    assert np.isfinite(off_g).all() and np.abs(off_g).sum() > 0
+
+
 def test_deform_conv_differentiable():
     """Gradients flow through sampling coords (the point of DCN)."""
     rng = np.random.RandomState(4)
