@@ -296,7 +296,7 @@ def _bwd_kernel_qkv(seed_ref, qkv_ref, g_ref, dqkv_ref, *, rate, heads):
         dqkv_ref[:, :, 2 * c + lo:2 * c + lo + dh] = dq.astype(dqkv_ref.dtype)
 
 
-def _run_qkv(kernel, seed, qkv, g, rate, heads, n_in):
+def _run_qkv(kernel, seed, qkv, g, rate, heads):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -340,7 +340,7 @@ def fused_attention_qkv(seed, qkv, num_heads: int, rate: float = 0.0,
     """
     eff_rate = rate if train else 0.0
     if jax.default_backend() == "tpu" and qkv.shape[1] <= MAX_S:
-        return _run_qkv(_fwd_kernel_qkv, seed, qkv, None, eff_rate, num_heads, 2)
+        return _run_qkv(_fwd_kernel_qkv, seed, qkv, None, eff_rate, num_heads)
     return _reference_qkv(seed, qkv, num_heads, eff_rate, True)
 
 
@@ -355,7 +355,7 @@ def _vjp_bwd_qkv(num_heads, rate, train, res, g):
     eff_rate = rate if train else 0.0
     if jax.default_backend() == "tpu" and qkv.shape[1] <= MAX_S:
         dqkv = _run_qkv(_bwd_kernel_qkv, seed, qkv, g.astype(qkv.dtype),
-                        eff_rate, num_heads, 3)
+                        eff_rate, num_heads)
     else:
         _, vjp = jax.vjp(lambda t: _reference_qkv(seed, t, num_heads,
                                                   eff_rate, True), qkv)
@@ -393,7 +393,7 @@ def fused_attention_proj(seed, seq, w, num_heads: int, rate: float = 0.0,
     eff_rate = rate if train else 0.0
     qkv = _proj(seq, w)
     if jax.default_backend() == "tpu" and seq.shape[1] <= MAX_S:
-        return _run_qkv(_fwd_kernel_qkv, seed, qkv, None, eff_rate, num_heads, 2)
+        return _run_qkv(_fwd_kernel_qkv, seed, qkv, None, eff_rate, num_heads)
     return _reference_qkv(seed, qkv, num_heads, eff_rate, True)
 
 
@@ -410,7 +410,7 @@ def _vjp_bwd_proj(num_heads, rate, train, res, g):
     qkv = _proj(seq, w)  # recomputed, not saved
     if jax.default_backend() == "tpu" and seq.shape[1] <= MAX_S:
         dqkv = _run_qkv(_bwd_kernel_qkv, seed, qkv, g.astype(qkv.dtype),
-                        eff_rate, num_heads, 3)
+                        eff_rate, num_heads)
     else:
         _, vjp = jax.vjp(lambda t: _reference_qkv(seed, t, num_heads,
                                                   eff_rate, True), qkv)
