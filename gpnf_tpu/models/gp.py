@@ -74,6 +74,9 @@ class GPConfig:
     ard: bool = True  # per-dimension lengthscales
     jitter: float = 1e-6
     use_pallas_cholesky: Optional[bool] = None  # None = auto by backend
+    # Triangular-solve backend, independent of the Cholesky flag: forcing
+    # the XLA Cholesky must not also force XLA's scalar-loop solve.
+    use_pallas_trisolve: Optional[bool] = None  # None = auto by backend
 
 
 @register_model("gp")
@@ -116,7 +119,7 @@ class GPRegression:
         # blocked Pallas/XLA solve — XLA's native triangular_solve is a
         # scalar while-loop on TPU (~27ms at n=512; ops/pallas/trisolve.py)
         return tril_solve(l, b, trans=trans,
-                          use_pallas=self.cfg.use_pallas_cholesky)
+                          use_pallas=self.cfg.use_pallas_trisolve)
 
     def neg_log_marginal_likelihood(self, params, x, y):
         """-log p(y | X) / N. y: (N,) or (N, P) independent outputs."""

@@ -123,7 +123,15 @@ class DCNPack:
         n = self.dg * self.k * self.k
         o1, o2, m = out[:, :n], out[:, n:2 * n], out[:, 2 * n:]
         bsz, _, h, w = x.shape
-        # DCNv2 packs (y, x) pairs per tap: interleave o1 (y) and o2 (x)
+        # DCNv2 packs (y, x) pairs per tap: interleave o1 (y) and o2 (x).
+        # KNOWN DEVIATION from the reference DCNv2Pack (EDVR_arch-style),
+        # which does torch.cat((o1, o2), dim=1) and lets the CUDA kernel
+        # read that concatenated layout as interleaved (y, x) — a different
+        # effective channel permutation of the zero-initialized offset conv.
+        # Equivalent when training from scratch (offsets start at zero and
+        # the permutation is absorbed by the learned off_w); transplanting a
+        # PRETRAINED reference EDVR checkpoint would require permuting
+        # off_w/off_b rows to this interleaved order first.
         off = jnp.stack([o1.reshape(bsz, self.dg, -1, h, w),
                          o2.reshape(bsz, self.dg, -1, h, w)], axis=3)
         off = off.reshape(bsz, -1, h, w)

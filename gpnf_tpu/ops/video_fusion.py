@@ -113,23 +113,29 @@ class PCDAlign:
 
 class AlignFea:
     """Single-level deformable alignment (operations.py:517-560):
-    offsets from [nbr, ref] concat through two convs, one DCN."""
+    offsets from [nbr, ref] concat through offset_conv1, then a chain of
+    SIX depthwise deformable-kernel convs (DKC (4,4), groups=nf —
+    operations.py:521-526), one DCN on the neighbour features."""
 
     def __init__(self, nf: int = 64, groups: int = 8):
         self.nf, self.dg = nf, groups
+        self.dkcs = [DeformKernelConv((4, 4), nf, nf, 3, groups=nf)
+                     for _ in range(6)]
 
     def init(self, key):
-        k1, k2, k3 = jax.random.split(key, 3)
+        ks = iter(jax.random.split(key, 8))
         return {
-            "offset_conv1": _conv_init(k1, self.nf, self.nf * 2, 3, bias=True),
-            "offset_conv2": _conv_init(k2, self.nf, self.nf, 3, bias=True),
-            "dcn": DCNPack(self.nf, self.nf, 3, self.dg).init(k3),
+            "offset_conv1": _conv_init(next(ks), self.nf, self.nf * 2, 3,
+                                       bias=True),
+            "dkcs": [d.init(next(ks)) for d in self.dkcs],
+            "dcn": DCNPack(self.nf, self.nf, 3, self.dg).init(next(ks)),
         }
 
     def apply(self, params, nbr_fea, ref_fea):
         offset = jnp.concatenate([nbr_fea, ref_fea], axis=1)
         offset = lrelu(_conv(params["offset_conv1"], offset))
-        offset = lrelu(_conv(params["offset_conv2"], offset))
+        for dkc, p in zip(self.dkcs, params["dkcs"]):
+            offset = lrelu(dkc.apply(p, offset))
         return lrelu(DCNPack(self.nf, self.nf, 3, self.dg)
                      .apply(params["dcn"], nbr_fea, offset))
 

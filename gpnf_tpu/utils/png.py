@@ -25,6 +25,7 @@ def read_png(path):
         if tag == b"IHDR":
             w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
             assert depth == 8 and ctype in (2, 6), "only 8-bit RGB(A) PNG"
+            assert payload[12] == 0, "Adam7-interlaced PNG unsupported"
             ch = 3 if ctype == 2 else 4
         elif tag == b"IDAT":
             idat += payload

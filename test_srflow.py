@@ -140,8 +140,11 @@ def main():
                 mean_psnr = np.mean([float(r["PSNR"]) for r in hr_rows])
                 mean_ssim = np.mean([float(r["SSIM"]) for r in hr_rows])
                 mean_lrc = np.mean([float(r["LRC PSNR"]) for r in hr_rows])
+                lp = [r["LPIPS"] for r in hr_rows if r["LPIPS"] != "n/a"]
+                lp_s = f"{np.mean([float(v) for v in lp]):.4f}" if lp else "n/a"
                 print(f"Mean heat {heat}: PSNR: {mean_psnr:.2f}, "
-                      f"SSIM: {mean_ssim:.4f}, LPIPS: n/a, LRC PSNR: {mean_lrc:.2f}")
+                      f"SSIM: {mean_ssim:.4f}, LPIPS: {lp_s}, "
+                      f"LRC PSNR: {mean_lrc:.2f}")
     print(f"Results in: {csv_path}")
 
 
