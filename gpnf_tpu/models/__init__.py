@@ -19,7 +19,7 @@ def create_model(name: str, *args, **kwargs):
     key = name.lower()
     if key not in _REGISTRY:
         # Import known model modules lazily so registration side effects run.
-        from . import marscf, srflow, gp  # noqa: F401
+        from . import marscf, srflow, gp, video_sr  # noqa: F401
     if key not in _REGISTRY:
         raise KeyError(f"unknown model {name!r}; known: {sorted(_REGISTRY)}")
     return _REGISTRY[key](*args, **kwargs)
