@@ -131,6 +131,164 @@ def pallas_cholesky(a: jax.Array) -> jax.Array:
     )(a)
 
 
+# --------------------------------------------------------------------------
+# HBM-streaming left-looking Cholesky (n = 2k .. 16k)
+# --------------------------------------------------------------------------
+def _hbm_panel_width(n: int) -> int:
+    """Panel width P sized so panel (n,P) + double-buffered column stream
+    (2,n,P) stay ~12 MB of VMEM."""
+    if n <= 4096:
+        return 256
+    if n <= 8192:
+        return 128
+    return 64
+
+
+def _hbm_chol_kernel(a_hbm, out_hbm, panel, diag, kcol, krow,
+                     sem_p, sem_d, sem_kc, sem_kr, sem_s, *, n, P, T):
+    """Left-looking panel factorization, matrix resident in HBM.
+
+    Per block column j (all offsets traced, all DMA sizes static):
+      1. DMA block column j of A (full height) + its diagonal block to VMEM;
+      2. stream previously factorized columns k<j back from HBM
+         (double-buffered DMA overlapped with compute) and apply the
+         left-looking update  panel -= L[:,k] @ L[row j,k]^T  on the MXU,
+         row-tiled with @pl.when so tiles fully above the diagonal are
+         skipped (~halves the junk-row FLOPs);
+      3. factorize the P x P diagonal block with the rank-1 VPU loop, invert
+         it exactly by Newton doubling (trisolve.py), and form the
+         below-diagonal block as ONE MXU matmul  panel @ L11^{-T}  — the
+         LAPACK sub-panel trick that keeps the sequential scalar work at
+         O(n P^2) instead of O(n^2 P);
+      4. DMA the masked column + L11 back to HBM.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .trisolve import _newton_tril_inv
+
+    nb = n // P
+    tile = n // T
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+    def col_step(j, carry):
+        s = j * P
+        pltpu.make_async_copy(a_hbm.at[:, pl.ds(s, P)], panel, sem_p).start()
+        pltpu.make_async_copy(a_hbm.at[pl.ds(s, P), pl.ds(s, P)], diag,
+                              sem_d).start()
+        pltpu.make_async_copy(a_hbm.at[:, pl.ds(s, P)], panel, sem_p).wait()
+        pltpu.make_async_copy(a_hbm.at[pl.ds(s, P), pl.ds(s, P)], diag,
+                              sem_d).wait()
+
+        def k_dmas(k, slot):
+            return (
+                pltpu.make_async_copy(out_hbm.at[:, pl.ds(k * P, P)],
+                                      kcol.at[slot], sem_kc.at[slot]),
+                pltpu.make_async_copy(
+                    out_hbm.at[pl.ds(s, P), pl.ds(k * P, P)],
+                    krow.at[slot], sem_kr.at[slot]),
+            )
+
+        @pl.when(j > 0)
+        def _():
+            for dma in k_dmas(0, 0):
+                dma.start()
+
+        def k_body(k, _):
+            slot = jax.lax.rem(k, 2)
+
+            @pl.when(k + 1 < j)
+            def _():
+                for dma in k_dmas(k + 1, jax.lax.rem(k + 1, 2)):
+                    dma.start()
+
+            for dma in k_dmas(k, slot):
+                dma.wait()
+            # slot selection via cond keeps every ref read a STATIC slice
+            # (Mosaic does not lower value reads at traced leading indices)
+            kr = jax.lax.cond(slot == 0, lambda: krow[0], lambda: krow[1])
+            diag[:] = diag[:] - _dot(kr, kr.T)
+            for t in range(T):
+                lo = t * tile
+
+                @pl.when(lo + tile > s)
+                def _():
+                    upd = jax.lax.cond(
+                        slot == 0,
+                        lambda: _dot(kcol[0, lo:lo + tile, :], kr.T),
+                        lambda: _dot(kcol[1, lo:lo + tile, :], kr.T))
+                    panel[lo:lo + tile, :] = panel[lo:lo + tile, :] - upd
+            return 0
+
+        jax.lax.fori_loop(0, j, k_body, 0)
+
+        l11 = _panel_cholesky(diag[:]) * _panel_mask(P, P, diag.dtype)
+        inv = _newton_tril_inv(l11)
+        diag[:] = l11
+        for t in range(T):
+            lo = t * tile
+
+            @pl.when(lo + tile > s)
+            def _():
+                below = _dot(panel[lo:lo + tile, :], inv.T)
+                rmask = (ridx[lo:lo + tile] >= s + P).astype(below.dtype)
+                panel[lo:lo + tile, :] = below * rmask
+
+            @pl.when(lo + tile <= s)
+            def _():
+                panel[lo:lo + tile, :] = jnp.zeros((tile, P), panel.dtype)
+
+        pltpu.make_async_copy(panel, out_hbm.at[:, pl.ds(s, P)], sem_s).start()
+        pltpu.make_async_copy(panel, out_hbm.at[:, pl.ds(s, P)], sem_s).wait()
+        pltpu.make_async_copy(diag, out_hbm.at[pl.ds(s, P), pl.ds(s, P)],
+                              sem_d).start()
+        pltpu.make_async_copy(diag, out_hbm.at[pl.ds(s, P), pl.ds(s, P)],
+                              sem_d).wait()
+        return carry
+
+    jax.lax.fori_loop(0, nb, col_step, 0)
+
+
+@partial(jax.jit, static_argnames=("panel_width", "interpret"))
+def pallas_cholesky_hbm(a: jax.Array, *, panel_width: int | None = None,
+                        interpret: bool = False) -> jax.Array:
+    """Lower-Cholesky with the matrix streamed from HBM (n = 2k..16k).
+
+    Requires n % P == 0 for the auto panel width P (256/128/64 by n) — use
+    `cholesky_blocked`, which pads, as the front end. `panel_width` and
+    `interpret` exist for small-shape interpreter-mode tests.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = a.shape[-1]
+    P = panel_width or _hbm_panel_width(n)
+    T = 8
+    assert n % P == 0 and (n // T) % 8 == 0, (n, P)
+    return pl.pallas_call(
+        partial(_hbm_chol_kernel, n=n, P=P, T=T),
+        out_shape=jax.ShapeDtypeStruct(a.shape, a.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((n, P), a.dtype),       # panel
+            pltpu.VMEM((P, P), a.dtype),       # diagonal block
+            pltpu.VMEM((2, n, P), a.dtype),    # streamed k columns (2 slots)
+            pltpu.VMEM((2, P, P), a.dtype),    # streamed k diag rows
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        cost_estimate=pl.CostEstimate(flops=n**3,
+                                      bytes_accessed=n**3 // P * 4,
+                                      transcendentals=n),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(a)
+
+
 def _blocked_cholesky_xla(a):
     """Same blocked panel algorithm in plain XLA ops (CPU fallback)."""
     n = a.shape[0]
@@ -158,6 +316,8 @@ def _phi(x):
 def _chol_core(a, kind: str):
     if kind == "pallas":
         return pallas_cholesky(a)
+    if kind == "hbm":
+        return pallas_cholesky_hbm(a)
     if kind == "native":
         return jnp.linalg.cholesky(a)
     return _blocked_cholesky_xla(a)
@@ -172,13 +332,16 @@ def _chol_bwd(kind, l, l_bar):
     """Standard Cholesky reverse rule (two triangular solves):
     A_bar = L^{-T} . phi(L^T L_bar) . L^{-1}, symmetrized the same way
     jax.lax.linalg.cholesky's own rule is (so grads through either
-    implementation agree)."""
+    implementation agree). Solves go through the blocked tril_solve
+    dispatcher — XLA's native triangular_solve is a scalar while-loop on
+    TPU, unusable at GP-head sizes (n >= 2048)."""
     del kind
-    solve = partial(jax.scipy.linalg.solve_triangular, lower=True)
+    from .trisolve import tril_solve
+
     w = _phi(jnp.matmul(l.T, l_bar, precision=jax.lax.Precision.HIGHEST))
     # t = L^{-T} w ; a_bar = t L^{-1} = (L^{-T} t^T)^T
-    t = solve(l, w, trans="T")
-    a_bar = solve(l, t.T, trans="T").T
+    t = tril_solve(l, w, trans=True)
+    a_bar = tril_solve(l, t.T, trans=True).T
     a_bar = 0.5 * (a_bar + a_bar.T)
     return (a_bar,)
 
@@ -189,26 +352,33 @@ _chol_core.defvjp(_chol_fwd, _chol_bwd)
 def cholesky_blocked(a: jax.Array, *, use_pallas: bool | None = None) -> jax.Array:
     """Blocked Cholesky with automatic padding and backend dispatch.
 
-    use_pallas: True forces the fused Pallas kernel; None = auto picks the
-    fastest measured option per backend — XLA's NATIVE cholesky on TPU (the
-    Pallas kernel's sequential pivot chain is still ~1.9x slower at n=1024,
-    docs/BENCHMARKS.md; the GP pipeline's real bottleneck, the triangular
-    SOLVE, is the Pallas win — see ops/pallas/trisolve.py) and the blocked
-    jnp algorithm on CPU. Every path carries the two-triangular-solve custom
-    VJP, so `gp.fit` differentiates through the factorization with O(n^3)
-    solves instead of unrolled-loop autodiff.
+    use_pallas: True forces a fused Pallas kernel (the VMEM-resident one for
+    n < 2048, the HBM-streaming `pallas_cholesky_hbm` at n >= 2048); None =
+    auto picks the fastest measured option per backend — on TPU, XLA's
+    NATIVE cholesky below n=2048 (the VMEM kernel's sequential pivot chain
+    is ~1.9x slower at n=1024, docs/BENCHMARKS.md) and the HBM-streaming
+    kernel at n >= 2048 (left-looking MXU panels; crossover measured in
+    docs/BENCHMARKS.md); the blocked jnp algorithm on CPU. Every path
+    carries the two-triangular-solve custom VJP, so `gp.fit` differentiates
+    through the factorization with O(n^3) solves instead of unrolled-loop
+    autodiff.
     """
     n = a.shape[-1]
-    pad = (-n) % BLK
+    on_tpu = jax.default_backend() == "tpu"
+    hbm = (use_pallas or use_pallas is None) and on_tpu and n >= 2048
+    blk = _hbm_panel_width(n) if hbm else BLK
+    pad = (-n) % blk
     if pad:
         a_p = jnp.zeros((n + pad, n + pad), a.dtype)
         a_p = a_p.at[:n, :n].set(a)
         a_p = a_p.at[jnp.arange(n, n + pad), jnp.arange(n, n + pad)].set(1.0)
         a = a_p
 
-    if use_pallas:
+    if hbm:
+        kind = "hbm"
+    elif use_pallas:
         kind = "pallas"
-    elif jax.default_backend() == "tpu":
+    elif on_tpu:
         kind = "native"
     else:
         kind = "xla"

@@ -11,6 +11,7 @@ import json
 import os
 import re
 import shutil
+import threading
 from typing import Any, Optional
 
 import jax
@@ -60,6 +61,8 @@ class CheckpointManager:
         self.dir = directory
         self.keep = keep
         self.keep_every = keep_every
+        self._async_thread: Optional[threading.Thread] = None
+        self._async_err: Optional[BaseException] = None
         os.makedirs(directory, exist_ok=True)
 
     def _meta_path(self):
@@ -111,6 +114,41 @@ class CheckpointManager:
             if self.keep_every and s > 0 and s % self.keep_every == 0:
                 continue
             os.remove(os.path.join(self.dir, f"step_{s}.npz"))
+
+    def save_async(self, step: int, state: Any,
+                   metric: Optional[float] = None) -> None:
+        """Overlapped save: snapshot the device buffers with an on-device
+        copy (cheap; also decouples from donated buffers that the next train
+        step will overwrite), then pull device->host and write the npz on a
+        background thread. Over the remote-TPU tunnel the ~70 MB pull is the
+        expensive part — it no longer stalls the train loop
+        (docs/BENCHMARKS.md round-2 epoch-boundary collapse).
+
+        One save in flight at a time: a new call joins the previous one
+        first (bounds memory; saves are rare).
+        """
+        self.wait_async()
+        snap = jax.tree.map(
+            lambda x: jax.numpy.copy(x) if hasattr(x, "devices") else x,
+            state)
+
+        def worker():
+            try:
+                self.save(step, snap, metric=metric)
+            except BaseException as e:  # surfaced on the next wait_async()
+                self._async_err = e
+
+        self._async_thread = threading.Thread(target=worker, daemon=True)
+        self._async_thread.start()
+
+    def wait_async(self) -> None:
+        """Join the in-flight async save (call before restore/exit)."""
+        if self._async_thread is not None:
+            self._async_thread.join()
+            self._async_thread = None
+        if self._async_err is not None:
+            err, self._async_err = self._async_err, None
+            raise err
 
     def latest_step(self) -> Optional[int]:
         steps = self._steps()

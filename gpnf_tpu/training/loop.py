@@ -38,6 +38,12 @@ class TrainConfig:
     lr: float = 1e-4
     epochs: int = 100000
     test_epoch_interval: int = 1
+    # step-based eval/checkpoint cadence. The reference's per-EPOCH eval is
+    # an artifact of CIFAR-sized epochs; with tiny synthetic epochs it
+    # collapses throughput (docs/BENCHMARKS.md r2). When set, eval runs
+    # every N optimizer steps and epoch boundaries are ignored.
+    eval_every_steps: Optional[int] = None
+    async_checkpoint: bool = True  # overlap the device->host save
     max_steps: Optional[int] = None  # early stop for smoke runs
     checkpoint_dir: str = "./checkpoints"
     log_path: Optional[str] = None
@@ -134,6 +140,22 @@ def train(model_cfg: MarScfConfig, train_cfg: TrainConfig, *, log_fn=print):
     log_every = 50
     window_t0, window_steps = time.time(), 0
 
+    def run_eval(epoch):
+        nonlocal best_test_nll, rng
+        rng, sub = jax.random.split(rng)
+        test_nll = evaluate(eval_fn, params, test_loader, mesh, sub)
+        if math.isfinite(test_nll) and test_nll < best_test_nll:
+            best_test_nll = test_nll
+            if train_cfg.async_checkpoint:
+                ckpt.save_async(global_step, {"params": params},
+                                metric=test_nll)
+            else:
+                ckpt.save(global_step, {"params": params}, metric=test_nll)
+        log_fn(f"epoch {epoch}: test NLL {test_nll:.4f} "
+               f"(best {best_test_nll:.4f})")
+        emit({"step": global_step, "epoch": epoch, "test_nll": test_nll,
+              "best_test_nll": best_test_nll})
+
     for epoch in range(train_cfg.epochs):
         data_timer.tick()
         for batch in train_loader:
@@ -157,22 +179,21 @@ def train(model_cfg: MarScfConfig, train_cfg: TrainConfig, *, log_fn=print):
                 emit({"step": global_step, "epoch": epoch, "nll": loss,
                       "images_per_sec": imgs_per_sec, "t": iter_t, "td": data_t,
                       "elapsed": time.time() - t_train_start})
+            if (train_cfg.eval_every_steps
+                    and global_step % train_cfg.eval_every_steps == 0):
+                run_eval(epoch)
             if train_cfg.max_steps and global_step >= train_cfg.max_steps:
                 stop = True
                 break
             data_timer.tick()
-        if epoch % train_cfg.test_epoch_interval == 0 or stop:
-            rng, sub = jax.random.split(rng)
-            test_nll = evaluate(eval_fn, params, test_loader, mesh, sub)
-            if math.isfinite(test_nll) and test_nll < best_test_nll:
-                best_test_nll = test_nll
-                ckpt.save(global_step, {"params": params}, metric=test_nll)
-            log_fn(f"epoch {epoch}: test NLL {test_nll:.4f} (best {best_test_nll:.4f})")
-            emit({"step": global_step, "epoch": epoch, "test_nll": test_nll,
-                  "best_test_nll": best_test_nll})
+        epoch_eval = (train_cfg.eval_every_steps is None
+                      and epoch % train_cfg.test_epoch_interval == 0)
+        if epoch_eval or stop:
+            run_eval(epoch)
         if stop:
             break
 
+    ckpt.wait_async()
     if log_file:
         log_file.close()
     return params, best_test_nll

@@ -104,37 +104,51 @@ def make_srflow_train_step(model: SRFlowNet, cfg: SRTrainConfig, opt, mask_rrdb)
 
 
 def make_sr_sampler(model: SRFlowNet):
-    @partial(jax.jit, static_argnames=("eps_std",))
+    """eps_std is a TRACED scalar: one compile serves every heat (the
+    reference walks 4 heats per validation; static_argnames here cost 4
+    multi-minute compiles on the 1-core host)."""
+    @jax.jit
     def sample(params, lr_img, rng, eps_std):
-        sr, _ = model.reverse(params, lr_img, rng=rng, eps_std=eps_std)
+        sr, _ = model.reverse(params, lr_img, rng=rng,
+                              eps_std=jnp.asarray(eps_std, jnp.float32))
         return sr
     return sample
 
 
 def validate(model: SRFlowNet, params, dataset, *, heats=(0.75,), rng=None,
              max_items: Optional[int] = None, batch: int = 8):
-    """Mean PSNR per heat over the (whole, by default) val set, sampling in
-    batches per heat rather than image-by-image (train.py:227-303 walks the
-    full val set; the batch-1-per-image pattern was a round-1 smoke-test
-    shortcut)."""
+    """Mean PSNR per heat over the (whole, by default) val set, STREAMED in
+    batches straight from the dataset (train.py:227-303 walks the full val
+    set; materializing it as unbatched host pairs first was a round-2 weak
+    spot — wrong shape for a real DF2K directory). The sampler takes heat as
+    a traced scalar, so all heats share one compile; the final short batch is
+    padded to the jit'd batch size to avoid a recompile."""
     rng = jax.random.PRNGKey(0) if rng is None else rng
     sampler = make_sr_sampler(model)
-    pairs = []
-    for lr_img, hr_img in dataset.batches(1, shuffle=False):
-        pairs.append((lr_img[0], hr_img[0]))
-        if max_items is not None and len(pairs) >= max_items:
-            break
     out = {}
     for heat in heats:
         vals = []
-        for c0 in range(0, len(pairs), batch):
-            chunk = pairs[c0 : c0 + batch]
-            lr_b = jnp.asarray(np.stack([p[0] for p in chunk]))
+        seen = 0
+        for lr_img, hr_img in dataset.batches(batch, shuffle=False,
+                                              drop_last=False):
+            if max_items is not None:
+                lr_img = lr_img[: max_items - seen]
+                hr_img = hr_img[: max_items - seen]
+                if len(lr_img) == 0:
+                    break
+            n_real = len(lr_img)
+            if n_real < batch:  # pad to the compiled batch shape
+                reps = [lr_img] + [lr_img[:1]] * (batch - n_real)
+                lr_img = np.concatenate(reps, axis=0)
             rng, sub = jax.random.split(rng)
-            sr_b = np.asarray(sampler(params, lr_b, sub, float(heat)))
-            for j, (_, hr_img) in enumerate(chunk):
+            sr_b = np.asarray(sampler(params, jnp.asarray(lr_img), sub,
+                                      float(heat)))[:n_real]
+            for j in range(n_real):
                 sr_img = np.clip(sr_b[j].transpose(1, 2, 0), 0, 1) * 255
-                vals.append(psnr(sr_img, hr_img.transpose(1, 2, 0) * 255))
+                vals.append(psnr(sr_img,
+                                 np.asarray(hr_img[j]).transpose(1, 2, 0)
+                                 * 255))
+            seen += n_real
         out[heat] = float(np.mean(vals)) if vals else float("nan")
     return out
 

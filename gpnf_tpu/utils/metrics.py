@@ -121,14 +121,21 @@ class Measure:
 
     lpips_substitute=True reports the random-feature perceptual distance
     (`lpips_rf`) when the real lpips package is absent, instead of None.
+    lpips_proxy=True prefers the TRAINED-feature proxy
+    (utils/perceptual.lpips_proxy, checked-in conv weights) over lpips_rf.
     """
 
-    def __init__(self, lpips_substitute: bool = False):
+    def __init__(self, lpips_substitute: bool = False,
+                 lpips_proxy: bool = False):
         self.lpips_substitute = lpips_substitute
+        self.lpips_proxy = lpips_proxy
 
     def measure(self, img_a: np.ndarray, img_b: np.ndarray):
         lp = lpips_distance(img_a, img_b)
-        if lp is None and self.lpips_substitute:
+        if lp is None and self.lpips_proxy:
+            from .perceptual import lpips_proxy
+            lp = lpips_proxy(img_a, img_b)
+        elif lp is None and self.lpips_substitute:
             lp = lpips_rf(img_a, img_b)
         return psnr(img_a, img_b), ssim(img_a, img_b), lp
 

@@ -53,6 +53,10 @@ def main():
     p.add_argument("--ext", default="png")
     p.add_argument("--fid", action="store_true",
                    help="also print random-feature FID between the two dirs")
+    p.add_argument("--lpips_proxy", action="store_true",
+                   help="report the trained-feature perceptual distance "
+                        "(utils/perceptual.py; a documented in-env proxy, "
+                        "not comparable to AlexNet-LPIPS)")
     args = p.parse_args()
 
     a_paths = sorted(glob.glob(os.path.join(args.dir_a, f"*.{args.ext}")))
@@ -62,7 +66,7 @@ def main():
     if args.fid:
         print(f"fid_rf: {compute_fid(a_paths, b_paths):.4f}")
 
-    m = Measure()
+    m = Measure(lpips_proxy=args.lpips_proxy)
     psnrs, ssims, lpipss = [], [], []
     for pa, pb in zip(a_paths, b_paths):
         ia, ib = load_image(pa), load_image(pb)

@@ -46,6 +46,9 @@ def main():
     p.add_argument("--lpips_rf", action="store_true",
                    help="fill the LPIPS column with the in-env random-feature "
                         "perceptual distance (not comparable to AlexNet-LPIPS)")
+    p.add_argument("--lpips_proxy", action="store_true",
+                   help="fill the LPIPS column with the TRAINED-feature "
+                        "perceptual proxy (utils/perceptual.py)")
     args = p.parse_args()
 
     import jax
@@ -82,7 +85,8 @@ def main():
 
     _, val_set = load_datasets(opt, model_cfg)
     sampler = make_sr_sampler(model)
-    measure = Measure(lpips_substitute=args.lpips_rf)
+    measure = Measure(lpips_substitute=args.lpips_rf,
+                      lpips_proxy=args.lpips_proxy)
     heats = [float(h) for h in args.heats.split(",")]
 
     test_dir = os.path.join(args.out_dir, conf)

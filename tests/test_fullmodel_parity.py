@@ -101,6 +101,20 @@ def test_marscf_fullmodel_nll_parity(coupling):
         f"{coupling}: bits/dim diff {diff:.2e} (ref {nll_ref}, mine {nll})")
 
 
+@pytest.mark.slow
+def test_marscf_flagship_size_nll_parity():
+    """FLAGSHIP composition pin: L=3, K=4, C=96 — the north-star benchmark
+    config (README.md:40) — transplant NLL parity <= 1e-3 bits/dim. The toy
+    L=2/K=2/C=32 test above pins the mechanics; this one pins the exact
+    3-level wiring (level-3 4x4-patch attention, per-level prior kernel
+    sizes/dilations, split routing) at production size."""
+    nll_ref, nll = _nll_pair("mixlogcdf", L=3, K=4, C=96, batch=1)
+    assert np.all(np.isfinite(nll_ref)) and np.all(np.isfinite(nll))
+    diff = np.max(np.abs(nll - nll_ref))
+    assert diff <= 1e-3, (
+        f"flagship: bits/dim diff {diff:.2e} (ref {nll_ref}, mine {nll})")
+
+
 # ---------------------------------------------------------------------------
 # SRFlow: complete SRFlowNet (RRDB encoder + conditional flow), encode NLL
 # parity + decode round trip. Reference: models/modules/SRFlowNet_arch.py

@@ -218,3 +218,45 @@ def test_lpips_rf_substitute():
 
     _, _, lp = Measure(lpips_substitute=True).measure(a, near)
     assert lp is not None and np.isfinite(lp)
+
+
+def test_checkpoint_manager_async_save(tmp_path):
+    """save_async writes the same artifact as save, including best tracking,
+    and wait_async surfaces worker errors."""
+    import jax.numpy as jnp
+
+    from gpnf_tpu.training.checkpoints import CheckpointManager
+
+    ckpt = CheckpointManager(str(tmp_path))
+    state = {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.ones((3,))}
+    ckpt.save_async(1, state, metric=5.0)
+    ckpt.save_async(2, state, metric=3.0)  # joins the first save
+    ckpt.wait_async()
+    assert ckpt.latest_step() == 2
+    got = ckpt.restore({"w": jnp.zeros((2, 3)), "b": jnp.zeros((3,))},
+                       best=True)
+    np.testing.assert_allclose(np.asarray(got["w"]), np.asarray(state["w"]))
+    meta = ckpt._load_meta()
+    assert meta["best_step"] == 2 and meta["best_metric"] == 3.0
+
+
+def test_lpips_proxy_trained_features():
+    """Trained-feature perceptual proxy (utils/perceptual.py): deterministic
+    across calls, zero for identical inputs, monotone in corruption level,
+    and wired through Measure(lpips_proxy=True)."""
+    from gpnf_tpu.utils.metrics import Measure
+    from gpnf_tpu.utils.perceptual import lpips_proxy
+
+    rng = np.random.default_rng(0)
+    img = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+    noisy_sm = np.clip(img + rng.normal(0, 8, img.shape), 0, 255)
+    noisy_lg = np.clip(img + rng.normal(0, 40, img.shape), 0, 255)
+
+    assert lpips_proxy(img, img) == 0.0
+    d1, d1b = lpips_proxy(img, noisy_sm), lpips_proxy(img, noisy_sm)
+    assert d1 == d1b, "proxy not deterministic"
+    d2 = lpips_proxy(img, noisy_lg)
+    assert 0 < d1 < d2, (d1, d2)
+
+    _, _, lp = Measure(lpips_proxy=True).measure(img, noisy_sm)
+    assert lp is not None and abs(lp - d1) < 1e-6

@@ -25,6 +25,11 @@ def main():
     p.add_argument("--no_attention", action="store_true")
     p.add_argument("--max_steps", default=None, type=int)
     p.add_argument("--epochs", default=100000, type=int)
+    p.add_argument("--eval_every_steps", default=None, type=int,
+                   help="eval/ckpt every N steps instead of per epoch "
+                        "(decouples cadence from tiny synthetic epochs)")
+    p.add_argument("--sync_checkpoint", action="store_true",
+                   help="disable the overlapped async checkpoint save")
     p.add_argument("--from_checkpoint", action="store_true",
                    help="evaluate + sample from the best checkpoint")
     p.add_argument("--checkpoint_dir", default="./checkpoints")
@@ -49,6 +54,8 @@ def main():
     train_cfg = TrainConfig(dataset=args.dataset_name, data_root=args.data_root,
                             batch_size=args.batch_size, warm_up=args.warm_up,
                             epochs=args.epochs, max_steps=args.max_steps,
+                            eval_every_steps=args.eval_every_steps,
+                            async_checkpoint=not args.sync_checkpoint,
                             checkpoint_dir=args.checkpoint_dir, seed=args.seed)
 
     print(f"devices: {jax.devices()}")
