@@ -26,6 +26,8 @@ convs, which XLA maps to the MXU.
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -36,6 +38,21 @@ from .conv import conv2d
 def checkerboard(shape) -> np.ndarray:
     """1 where the index-sum is even (transformer.py:10-11)."""
     return (1 - np.indices(shape).sum(axis=0) % 2).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=64)
+def _image_mask(c: int, h: int, w: int, p: int, permute: bool) -> np.ndarray:
+    """The (n, d) patch checkerboard rendered into image space (c, h, w).
+
+    Static (trace-time numpy), so masking in image space costs one fused
+    elementwise multiply instead of a to_patches 6-D transpose round-trip.
+    """
+    hh, ww = h // p, w // p
+    m = checkerboard((hh * ww, c * p * p))
+    if permute:
+        m = 1.0 - m
+    m = m.reshape(hh, ww, c, p, p).transpose(2, 0, 3, 1, 4)
+    return np.ascontiguousarray(m.reshape(c, h, w))
 
 
 def to_patches(x: jax.Array, p: int) -> jax.Array:
@@ -78,6 +95,11 @@ class InvertibleAttention:
         # and the SRFlow-side models/modules/transformer.py, 5 heads).
         assert score in ("sigmoid", "softmax"), score
         self.score = score
+        # image-space quadrant fast path for square inputs (n == 4); the
+        # general patch path remains as the reference implementation and the
+        # only path for non-square inputs. Tests flip this off to pin
+        # equivalence.
+        self.use_quad_path = True
 
     def init(self, key):
         ks = jax.random.split(key, 2 * self.num_heads)
@@ -163,8 +185,104 @@ class InvertibleAttention:
     def _ldj(self, m1, m2, d):
         return (self._slogabsdet(m1) + self._slogabsdet(m2)) * (d // 2)
 
+    # -- quadrant fast path (square inputs: p = W/2 => exactly 4 patches) ---
+    #
+    # With 4 patches the parity mixing matrices are 2x2, so y = m @ u is four
+    # scalar-weighted quadrant sums: pure VPU elementwise work in image
+    # space.  No to_patches/from_patches 6-D transposes anywhere — the r2/r3
+    # xprof showed those layout copies as a ~40 ms/step bucket.  Patch
+    # row-major order maps quadrants q00,q01,q10,q11 to patches 0,1,2,3;
+    # even patches are (q00, q10), odd are (q01, q11).
+
+    @staticmethod
+    def _quads(t):
+        ph, pw = t.shape[2] // 2, t.shape[3] // 2
+        return (t[:, :, :ph, :pw], t[:, :, :ph, pw:],
+                t[:, :, ph:, :pw], t[:, :, ph:, pw:])
+
+    def _blocks_quad(self, params, x_masked_img):
+        wq = params["wq"].reshape(self.num_heads * self.nc, self.nc, 1, 1)
+        wk = params["wk"].reshape(self.num_heads * self.nc, self.nc, 1, 1)
+        q = conv2d(x_masked_img, wq)  # (B, heads*C, H, W)
+        k = conv2d(x_masked_img, wk)
+        qs, ks = self._quads(q), self._quads(k)
+        # scores[b, i, j] = <patch_i(q), patch_j(k)> summed over heads+dims
+        scores = jnp.stack([
+            jnp.stack([jnp.sum((qi * kj).astype(jnp.float32), axis=(1, 2, 3))
+                       for kj in ks], axis=-1)
+            for qi in qs], axis=-2) / params["scale"][0]
+        if self.score == "softmax":
+            a = jax.nn.softmax(scores, axis=-1)
+        else:
+            a = jax.nn.sigmoid(scores + params["offset2"][0]) + params["offset3"][0]
+        eye = jnp.eye(2, dtype=a.dtype) * params["offset"][0]
+        ev, od = np.array([0, 2]), np.array([1, 3])
+        m1 = a[:, ev[:, None], ev[None, :]] + eye
+        m2 = a[:, od[:, None], od[None, :]] + eye
+        return m1, m2
+
+    @staticmethod
+    def _mix_quads(m1, m2, u, dtype):
+        """y quadrants from 2x2 parity mixes; coefficients broadcast (B,1,1,1)."""
+        u00, u01, u10, u11 = InvertibleAttention._quads(u)
+
+        def c(m, i, j):
+            return m[:, i, j][:, None, None, None].astype(dtype)
+
+        y00 = c(m1, 0, 0) * u00 + c(m1, 0, 1) * u10
+        y10 = c(m1, 1, 0) * u00 + c(m1, 1, 1) * u10
+        y01 = c(m2, 0, 0) * u01 + c(m2, 0, 1) * u11
+        y11 = c(m2, 1, 0) * u01 + c(m2, 1, 1) * u11
+        top = jnp.concatenate([y00, y01], axis=3)
+        bot = jnp.concatenate([y10, y11], axis=3)
+        return jnp.concatenate([top, bot], axis=2)
+
+    @staticmethod
+    def _solve_quads(m1, m2, u, dtype):
+        """Inverse 2x2 parity mixes on quadrants (closed-form adjugate)."""
+        u00, u01, u10, u11 = InvertibleAttention._quads(u)
+
+        def c(v):
+            return v[:, None, None, None].astype(jnp.float32)
+
+        a1, b1 = m1[..., 0, 0], m1[..., 0, 1]
+        c1, d1 = m1[..., 1, 0], m1[..., 1, 1]
+        det1 = c(a1 * d1 - b1 * c1)
+        x00 = (c(d1) * u00 - c(b1) * u10) / det1
+        x10 = (-c(c1) * u00 + c(a1) * u10) / det1
+        a2, b2 = m2[..., 0, 0], m2[..., 0, 1]
+        c2, d2 = m2[..., 1, 0], m2[..., 1, 1]
+        det2 = c(a2 * d2 - b2 * c2)
+        x01 = (c(d2) * u01 - c(b2) * u11) / det2
+        x11 = (-c(c2) * u01 + c(a2) * u11) / det2
+        top = jnp.concatenate([x00, x01], axis=3)
+        bot = jnp.concatenate([x10, x11], axis=3)
+        return jnp.concatenate([top, bot], axis=2).astype(dtype)
+
+    def _forward_quad(self, params, x, logdet, permute):
+        b, c, h, w = x.shape
+        p, _, d = self._geometry(x.shape)
+        mask = jnp.asarray(_image_mask(c, h, w, p, permute), dtype=x.dtype)
+        x_masked = x * mask
+        m1, m2 = self._blocks_quad(params, x_masked)
+        logdet = logdet + self._ldj(m1, m2, d)
+        yu = self._mix_quads(m1, m2, x * (1.0 - mask), x.dtype)
+        return yu * (1.0 - mask) + x_masked, logdet
+
+    def _inverse_quad(self, params, y, logdet, permute):
+        b, c, h, w = y.shape
+        p, _, d = self._geometry(y.shape)
+        mask = jnp.asarray(_image_mask(c, h, w, p, permute), dtype=y.dtype)
+        y_masked = y * mask
+        m1, m2 = self._blocks_quad(params, y_masked)
+        logdet = logdet - self._ldj(m1, m2, d)
+        xu = self._solve_quads(m1, m2, y * (1.0 - mask), y.dtype)
+        return xu * (1.0 - mask) + y_masked, logdet
+
     def forward(self, params, x, logdet, *, permute: bool = False, **_):
         p, n, d = self._geometry(x.shape)
+        if n == 4 and self.use_quad_path:
+            return self._forward_quad(params, x, logdet, permute)
         mask = jnp.asarray(checkerboard((n, d)))
         if permute:
             mask = 1.0 - mask
@@ -185,6 +303,8 @@ class InvertibleAttention:
 
     def inverse(self, params, y, logdet, *, permute: bool = False, **_):
         p, n, d = self._geometry(y.shape)
+        if n == 4 and self.use_quad_path:
+            return self._inverse_quad(params, y, logdet, permute)
         mask = jnp.asarray(checkerboard((n, d)))
         if permute:
             mask = 1.0 - mask

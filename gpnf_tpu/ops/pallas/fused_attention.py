@@ -368,14 +368,145 @@ fused_attention_qkv.defvjp(_vjp_fwd_qkv, _vjp_bwd_qkv)
 
 
 # ---------------------------------------------------------------------------
-# Projection-fused variant: the qkv projection is folded into the op so the
-# BACKWARD recomputes it instead of the autodiff machinery saving the
-# (B, S, 3C) projection as a residual. Under no-remat training those saved
-# projections are the largest activation class (bf16[K,B,S,3C] buffers,
-# 192 MB each at CIFAR level 1 — the allocation that OOMed b256 no-remat);
-# saving (B, S, C) seq + one (3C, C) weight instead cuts that memory 3x for
-# one extra GEMM per block in the backward pass.
+# Projection-fused variant: the qkv projection matmul runs INSIDE the Pallas
+# kernel, so the (B, S, 3C) projection never exists in HBM at all — not as a
+# saved residual (the largest no-remat activation class, bf16[K,B,S,3C]
+# buffers of 192 MB each at CIFAR level 1) and not as a backward-recompute
+# staging buffer either (the r3 xprof showed `checkpoint bf16[256,256,288]`
+# copies at ~45 ms/step feeding the kernels when the projection was computed
+# OUTSIDE the pallas_call). Residuals: (B, S, C) seq + the (3C, C) weight.
+# The backward kernel accumulates dW across sequential grid programs in the
+# revisited output block and emits dseq per block.
 # ---------------------------------------------------------------------------
+
+
+def _kernel_proj_qkv(seq, w):
+    """(MB, S, C) @ (3C, C)^T on the MXU, inside the kernel. 2D dots only —
+    Mosaic rejects >2D non-batch contractions."""
+    mb, s, c = seq.shape
+    qkv2d = jax.lax.dot_general(
+        seq.reshape(mb * s, c), w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return qkv2d.reshape(mb, s, w.shape[0]).astype(seq.dtype)
+
+
+def _fwd_kernel_proj(seed_ref, seq_ref, w_ref, o_ref, *, rate, heads):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    qkv = _kernel_proj_qkv(seq_ref[...], w_ref[...])  # (MB, S, 3C) in VMEM
+    c = qkv.shape[2] // 3
+    dh = c // heads
+    if rate > 0.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    for h in range(heads):
+        lo = h * dh
+        k = qkv[:, :, lo:lo + dh]
+        v = qkv[:, :, c + lo:c + lo + dh]
+        q = qkv[:, :, 2 * c + lo:2 * c + lo + dh] * (dh ** -0.5)
+        s = _dot(q, k, (((2,), (2,))))
+        p = _softmax_last(s)
+        if rate > 0.0:
+            keep = _dropout_keep(p.shape, rate)
+            p = jnp.where(keep, p / (1.0 - rate), 0.0)
+        o = _dot(p.astype(v.dtype), v, (((2,), (1,))))
+        o_ref[:, :, lo:lo + dh] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel_proj(seed_ref, seq_ref, w_ref, g_ref, dseq_ref, dw_ref,
+                     dqkv_scr, *, rate, heads):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    seq = seq_ref[...]
+    w = w_ref[...]
+    qkv = _kernel_proj_qkv(seq, w)
+    mb, s_len, c3 = qkv.shape
+    c = c3 // 3
+    dh = c // heads
+    in_dt = qkv.dtype
+    if rate > 0.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    for h in range(heads):
+        lo = h * dh
+        k = qkv[:, :, lo:lo + dh]
+        v = qkv[:, :, c + lo:c + lo + dh]
+        q = qkv[:, :, 2 * c + lo:2 * c + lo + dh] * (dh ** -0.5)
+        g = g_ref[:, :, lo:lo + dh]
+        s = _dot(q, k, (((2,), (2,))))
+        p = _softmax_last(s)
+        if rate > 0.0:
+            keep = _dropout_keep(p.shape, rate)
+            pd = jnp.where(keep, p / (1.0 - rate), 0.0)
+        else:
+            pd = p
+        dv = _dot(pd.astype(in_dt), g, (((1,), (1,))))
+        dpd = _dot(g, v, (((2,), (2,))))
+        dp = jnp.where(keep, dpd / (1.0 - rate), 0.0) if rate > 0.0 else dpd
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds = ds.astype(in_dt)
+        dq = _dot(ds, k, (((2,), (1,)))) * (dh ** -0.5)
+        dk = _dot(ds, q.astype(in_dt), (((1,), (1,))))
+        dqkv_scr[:, :, lo:lo + dh] = dk.astype(dqkv_scr.dtype)
+        dqkv_scr[:, :, c + lo:c + lo + dh] = dv.astype(dqkv_scr.dtype)
+        dqkv_scr[:, :, 2 * c + lo:2 * c + lo + dh] = dq.astype(dqkv_scr.dtype)
+    dqkv2d = dqkv_scr[...].reshape(mb * s_len, c3)
+    # dseq = dqkv @ w  — (MB*S, 3C) x (3C, C)
+    dseq2d = jax.lax.dot_general(dqkv2d, w, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    dseq_ref[...] = dseq2d.reshape(mb, s_len, -1).astype(dseq_ref.dtype)
+    # dW += dqkv^T @ seq — fp32-accumulated across the sequential grid in the
+    # revisited output block (constant index_map)
+    seq2d = seq.reshape(mb * s_len, -1)
+    dw_blk = jax.lax.dot_general(dqkv2d, seq2d, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    dw_ref[...] = dw_ref[...] + dw_blk
+
+
+def _run_proj_fwd(seed, seq, w, rate, heads):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, s, c = seq.shape
+    mb = _batch_block(b, s, seq.dtype)
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    blk = pl.BlockSpec((mb, s, c), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((3 * c, c), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_proj, rate=rate, heads=heads),
+        grid=(b // mb,), in_specs=[seed_spec, blk, w_spec], out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((b, s, c), seq.dtype),
+    )(seed, seq, w)
+
+
+def _run_proj_bwd(seed, seq, w, g, rate, heads):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, s, c = seq.shape
+    mb = _batch_block(b, s, seq.dtype)
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    blk = pl.BlockSpec((mb, s, c), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((3 * c, c), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    dseq, dw = pl.pallas_call(
+        functools.partial(_bwd_kernel_proj, rate=rate, heads=heads),
+        grid=(b // mb,),
+        in_specs=[seed_spec, blk, w_spec, blk],
+        out_specs=[blk, w_spec],
+        out_shape=[jax.ShapeDtypeStruct((b, s, c), seq.dtype),
+                   jax.ShapeDtypeStruct((3 * c, c), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((mb, s, 3 * c), seq.dtype)],
+    )(seed, seq, w, g)
+    return dseq, dw
 
 
 def _proj(seq, w):
@@ -387,14 +518,13 @@ def _proj(seq, w):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_attention_proj(seed, seq, w, num_heads: int, rate: float = 0.0,
                          train: bool = False):
-    """fused_attention_qkv(seed, seq @ w^T, ...) with the projection inside
-    the differentiation boundary. seq (B, S, C); w (3C, C) effective
-    (weight-normalized) in_proj matrix, rows ordered [k | v | q]."""
+    """Multi-head attention with the qkv projection fused INTO the kernel.
+    seq (B, S, C); w (3C, C) effective (weight-normalized) in_proj matrix,
+    rows ordered [k | v | q]; q scaled by Dh^-1/2 in-kernel."""
     eff_rate = rate if train else 0.0
-    qkv = _proj(seq, w)
     if jax.default_backend() == "tpu" and seq.shape[1] <= MAX_S:
-        return _run_qkv(_fwd_kernel_qkv, seed, qkv, None, eff_rate, num_heads)
-    return _reference_qkv(seed, qkv, num_heads, eff_rate, True)
+        return _run_proj_fwd(seed, seq, w, eff_rate, num_heads)
+    return _reference_qkv(seed, _proj(seq, w), num_heads, eff_rate, True)
 
 
 def _vjp_fwd_proj(seed, seq, w, num_heads, rate, train):
@@ -407,19 +537,19 @@ def _vjp_bwd_proj(num_heads, rate, train, res, g):
 
     seed, seq, w = res
     eff_rate = rate if train else 0.0
-    qkv = _proj(seq, w)  # recomputed, not saved
     if jax.default_backend() == "tpu" and seq.shape[1] <= MAX_S:
-        dqkv = _run_qkv(_bwd_kernel_qkv, seed, qkv, g.astype(qkv.dtype),
-                        eff_rate, num_heads)
+        dseq, dw = _run_proj_bwd(seed, seq, w, g.astype(seq.dtype),
+                                 eff_rate, num_heads)
     else:
+        qkv = _proj(seq, w)
         _, vjp = jax.vjp(lambda t: _reference_qkv(seed, t, num_heads,
                                                   eff_rate, True), qkv)
         (dqkv,) = vjp(g)
-    dqkv32 = dqkv.astype(jnp.float32)
-    dseq = jnp.einsum("bso,oc->bsc", dqkv32, w.astype(jnp.float32),
-                      preferred_element_type=jnp.float32).astype(seq.dtype)
-    dw = jnp.einsum("bso,bsc->oc", dqkv32, seq.astype(jnp.float32),
-                    preferred_element_type=jnp.float32)
+        dqkv32 = dqkv.astype(jnp.float32)
+        dseq = jnp.einsum("bso,oc->bsc", dqkv32, w.astype(jnp.float32),
+                          preferred_element_type=jnp.float32).astype(seq.dtype)
+        dw = jnp.einsum("bso,bsc->oc", dqkv32, seq.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
     seed_ct = np.zeros(seed.shape, jax.dtypes.float0)
     return seed_ct, dseq, dw.astype(w.dtype)
 

@@ -18,23 +18,31 @@ def main():
 
     from gpnf_tpu.utils.jax_setup import setup
     setup()
-    from gpnf_tpu.ops.pallas.cholesky import cholesky_blocked, pallas_cholesky
+    from gpnf_tpu.ops.pallas.cholesky import (cholesky_blocked,
+                                              pallas_cholesky,
+                                              pallas_cholesky_hbm)
 
     on_tpu = jax.default_backend() == "tpu"
     rng = np.random.default_rng(0)
 
-    for n in (256, 512, 1024):
+    import os
+    sizes = tuple(int(s) for s in os.environ.get(
+        "CHOL_SIZES", "256,512,1024,2048,4096,8192").split(","))
+    for n in sizes:
         a = rng.standard_normal((n, n)).astype(np.float32)
         spd = jnp.asarray(a @ a.T + n * np.eye(n, dtype=np.float32))
 
         impls = {"xla_native": jax.jit(jnp.linalg.cholesky)}
         if on_tpu:
-            impls["pallas_fused"] = jax.jit(pallas_cholesky)
+            if n < 2048:
+                impls["pallas_fused"] = jax.jit(pallas_cholesky)
+            else:
+                impls["pallas_hbm"] = jax.jit(pallas_cholesky_hbm)
         else:
             impls["blocked_xla"] = jax.jit(
                 lambda m: cholesky_blocked(m, use_pallas=False))
 
-        reps = 50
+        reps = max(3, min(50, (2048 // n) * 12 + 3))
 
         def chained(fn):
             # remote-tunnel-safe timing: data-dependent chain of `reps`

@@ -115,6 +115,42 @@ def test_invertible_attention():
     check_roundtrip_and_logdet(at, params, _x(), permute=True)
 
 
+@pytest.mark.parametrize("score", ["sigmoid", "softmax"])
+@pytest.mark.parametrize("permute", [False, True])
+def test_attention_quad_path_matches_general(score, permute):
+    # square inputs always give n == 4 patches; the image-space quadrant
+    # fast path must be bit-compatible (to fp tolerance) with the general
+    # patch-transpose path for both score modes and both parities.
+    at = InvertibleAttention(C, num_heads=3, score=score)
+    params = at.init(jax.random.PRNGKey(7))
+    x = _x(jax.random.PRNGKey(8))
+    zero = jnp.zeros((B,))
+    y_q, ld_q = at.forward(params, x, zero, permute=permute)
+    xr_q, _ = at.inverse(params, y_q, ld_q, permute=permute)
+    at.use_quad_path = False
+    y_g, ld_g = at.forward(params, x, zero, permute=permute)
+    xr_g, _ = at.inverse(params, y_g, ld_g, permute=permute)
+    np.testing.assert_allclose(np.asarray(y_q), np.asarray(y_g),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld_q), np.asarray(ld_g),
+                               atol=1e-4, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(xr_q), np.asarray(xr_g),
+                               atol=1e-5, rtol=1e-5)
+
+    # gradients flow identically through both paths
+    def loss(fn_params, quad):
+        at.use_quad_path = quad
+        y, ld = at.forward(fn_params, x, zero, permute=permute)
+        return jnp.sum(y ** 2) + jnp.sum(ld)
+
+    g_q = jax.grad(lambda p_: loss(p_, True))(params)
+    g_g = jax.grad(lambda p_: loss(p_, False))(params)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(g_q[k]), np.asarray(g_g[k]),
+                                   atol=2e-4, rtol=2e-4, err_msg=k)
+    at.use_quad_path = True
+
+
 def test_attention_permute_changes_output():
     at = InvertibleAttention(C, num_heads=3)
     params = at.init(KEY)

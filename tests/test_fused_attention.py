@@ -210,3 +210,64 @@ def test_gated_attn_uses_fused_path():
     assert y_eval.shape == x.shape
     y_train = ga.apply(params, x, rng=jax.random.PRNGKey(1), train=True)
     assert not np.allclose(np.asarray(y_eval), np.asarray(y_train))
+
+
+def _seq_w(b=2, s=32, c=96, heads=4):
+    seq = jax.random.normal(jax.random.PRNGKey(11), (b, s, c)) * 0.5
+    w = jax.random.normal(jax.random.PRNGKey(12), (3 * c, c)) * 0.1
+    return seq, w
+
+
+def test_fused_attention_proj_fwd_kernel_interpret():
+    """In-kernel qkv projection matches projecting outside + reference."""
+    from jax.experimental import pallas as pl
+
+    seq, w = _seq_w()
+    seed = jnp.zeros((1,), jnp.int32)
+    b, s, c = seq.shape
+    blk = pl.BlockSpec((1, s, c), lambda i: (i, 0, 0))
+    w_spec = pl.BlockSpec((3 * c, c), lambda i: (0, 0))
+    out = pl.pallas_call(
+        functools.partial(fa._fwd_kernel_proj, rate=0.0, heads=4),
+        grid=(b,), in_specs=[pl.BlockSpec(memory_space=None), blk, w_spec],
+        out_specs=blk, out_shape=jax.ShapeDtypeStruct((b, s, c), seq.dtype),
+        interpret=True,
+    )(seed, seq, w)
+    ref = fa._reference_qkv(seed, fa._proj(seq, w), 4, 0.0, False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_fused_attention_proj_bwd_kernel_interpret():
+    """In-kernel backward (dseq + accumulated dW) matches autodiff through
+    the projection + reference attention, including the cross-program dW
+    accumulation (grid of 2 programs)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    seq, w = _seq_w()
+    g = jax.random.normal(jax.random.PRNGKey(13), seq.shape) * 0.5
+    seed = jnp.zeros((1,), jnp.int32)
+    b, s, c = seq.shape
+    blk = pl.BlockSpec((1, s, c), lambda i: (i, 0, 0))
+    w_spec = pl.BlockSpec((3 * c, c), lambda i: (0, 0))
+    dseq, dw = pl.pallas_call(
+        functools.partial(fa._bwd_kernel_proj, rate=0.0, heads=4),
+        grid=(b,),
+        in_specs=[pl.BlockSpec(memory_space=None), blk, w_spec, blk],
+        out_specs=[blk, w_spec],
+        out_shape=[jax.ShapeDtypeStruct((b, s, c), seq.dtype),
+                   jax.ShapeDtypeStruct((3 * c, c), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((1, s, 3 * c), seq.dtype)],
+        interpret=True,
+    )(seed, seq, w, g)
+
+    def composed(seq, w):
+        return fa._reference_qkv(seed, fa._proj(seq, w), 4, 0.0, False)
+
+    _, vjp = jax.vjp(composed, seq, w)
+    want_dseq, want_dw = vjp(g)
+    np.testing.assert_allclose(np.asarray(dseq), np.asarray(want_dseq),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(want_dw),
+                               rtol=1e-4, atol=1e-4)
