@@ -116,8 +116,10 @@ class GPRegression:
         return l
 
     def _solve(self, l, b, *, trans=False):
-        # blocked Pallas/XLA solve — XLA's native triangular_solve is a
-        # scalar while-loop on TPU (~27ms at n=512; ops/pallas/trisolve.py)
+        # blocked Newton-inverse solve (ops/pallas/trisolve.py) — measured
+        # on par with XLA's native jitted solve (docs/BENCHMARKS.md, r3
+        # honesty correction); kept as default for CPU/TPU grad parity and
+        # compile-payload headroom at n >= 4096
         return tril_solve(l, b, trans=trans,
                           use_pallas=self.cfg.use_pallas_trisolve)
 

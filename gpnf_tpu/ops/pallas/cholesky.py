@@ -37,6 +37,10 @@ import jax
 import jax.numpy as jnp
 
 BLK = 128
+# diagonal-block factorization flavor inside kernels: dynamic-row-slice
+# in-place loop (True) vs masked-reduction value loop (False). A/B'd on TPU
+# (docs/BENCHMARKS.md); module-level so benches can flip it per-trace.
+DIAG_REF_SLICE = True
 
 
 def _dot(x, y):
@@ -50,29 +54,136 @@ def _panel_cholesky(p):
 
     Column k of the result is the k-th Cholesky column restricted to the
     panel; entries above the global diagonal are zeroed by the caller's mask.
-    One rank-1 VPU update per column; no MXU ops, no triangular inverse.
+
+    Columns advance in PAIRS (a fused rank-2 pivot: the closed-form 2x2
+    Cholesky of the pivot block + one combined two-term update), which
+    halves the sequential-loop fixed costs — masked-reduction extractions
+    and full-panel passes — that dominate this loop on the VPU. The fused
+    pair is algebraically exactly two consecutive rank-1 steps. No MXU ops,
+    no triangular inverse.
     """
     m, b = p.shape
+    assert b % 2 == 0, b
     ridx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
     cidx = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
 
-    def body(k, p):
-        colmask = cidx == k  # (1, b)
-        col = jnp.sum(jnp.where(colmask, p, 0.0), axis=1, keepdims=True)  # (m,1)
-        akk = jnp.sum(jnp.where(ridx == k, col, 0.0))
-        pivot = jnp.sqrt(akk)
-        inv = 1.0 / pivot
-        col_l = jnp.where(ridx > k, col * inv, 0.0)  # strictly below diag row
-        # row k of the (still symmetric) top block, scaled: the L^T row used
-        # by the rank-1 update. Extracted by reduction — the top b x b block
-        # stays symmetric under these symmetric rank-1 updates.
-        rowk = jnp.sum(jnp.where(ridx == k, p, 0.0), axis=0, keepdims=True)
-        row_l = jnp.where(cidx > k, rowk * inv, 0.0)  # (1, b)
-        p = p - col_l * row_l  # rank-1; zero outside (rows>k, cols>k)
-        lcol = col_l + jnp.where(ridx == k, pivot, 0.0)
-        return jnp.where(colmask, lcol, p)
+    def body(i, p):
+        k = 2 * i
+        m0 = cidx == k
+        m1 = cidx == k + 1
+        c0 = jnp.sum(jnp.where(m0, p, 0.0), axis=1, keepdims=True)  # (m,1)
+        c1 = jnp.sum(jnp.where(m1, p, 0.0), axis=1, keepdims=True)
+        rk0 = ridx == k
+        rk1 = ridx == k + 1
+        a = jnp.sum(jnp.where(rk0, c0, 0.0))    # pivot block [[a, bb],
+        bb = jnp.sum(jnp.where(rk1, c0, 0.0))   #              [bb, cc]]
+        cc = jnp.sum(jnp.where(rk1, c1, 0.0))
+        p0 = jnp.sqrt(a)
+        i0 = 1.0 / p0
+        l0 = jnp.where(ridx > k, c0 * i0, 0.0)           # L column k, below
+        r0 = jnp.sum(jnp.where(rk0, p, 0.0), axis=0, keepdims=True)
+        u0 = jnp.where(cidx > k, r0 * i0, 0.0)           # L^T row k
+        u0k1 = bb * i0                                   # L[k+1, k]
+        c1p = c1 - l0 * u0k1                             # col k+1 after step 1
+        p1 = jnp.sqrt(cc - u0k1 * u0k1)
+        i1 = 1.0 / p1
+        l1 = jnp.where(ridx > k + 1, c1p * i1, 0.0)      # L column k+1, below
+        r1 = jnp.sum(jnp.where(rk1, p, 0.0), axis=0, keepdims=True)
+        u1 = jnp.where(cidx > k + 1, (r1 - u0k1 * u0) * i1, 0.0)
+        p = p - l0 * u0 - l1 * u1                        # fused rank-2
+        lcol0 = l0 + jnp.where(rk0, p0, 0.0)
+        lcol1 = l1 + jnp.where(rk1, p1, 0.0)
+        return jnp.where(m0, lcol0, jnp.where(m1, lcol1, p))
 
-    return jax.lax.fori_loop(0, b, body, p)
+    return jax.lax.fori_loop(0, b // 2, body, p)
+
+
+def _chol_sym_inplace(scr):
+    """In-place Cholesky of the symmetric (b, b) block held in the VMEM
+    scratch ref `scr`; on return scr holds U = L^T exactly (zeros below the
+    diagonal included).
+
+    Row k of the (still symmetric) trailing block IS column k, and Mosaic
+    lowers dynamic SUBLANE slices of refs (`ref[pl.ds(k, 1), :]`) with
+    traced k — so each pivot row is one 1-row load instead of a full-panel
+    masked reduction, and all per-column vector work happens on (1, b)
+    rows. The rank-2 trailing update is one thin MXU matmul
+    (b, 2) @ (2, b). This cuts the full-panel VPU passes per column from
+    ~6 to ~1, which is the sequential floor of the whole factorization.
+    """
+    import jax.experimental.pallas as pl
+
+    b = scr.shape[0]
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
+
+    def body(i, carry):
+        k = 2 * i
+        mk0 = cidx == k
+        mk1 = cidx == k + 1
+        u0raw = scr[pl.ds(k, 1), :]                     # (1, b) row k
+        u1raw = scr[pl.ds(k + 1, 1), :]
+        a = jnp.sum(jnp.where(mk0, u0raw, 0.0))
+        bb = jnp.sum(jnp.where(mk0, u1raw, 0.0))        # d[k+1, k]
+        cc = jnp.sum(jnp.where(mk1, u1raw, 0.0))
+        p0 = jnp.sqrt(a)
+        i0 = 1.0 / p0
+        u0 = jnp.where(cidx > k, u0raw * i0, 0.0)       # L^T row k, past diag
+        u0k1 = bb * i0                                  # L[k+1, k]
+        p1 = jnp.sqrt(cc - u0k1 * u0k1)
+        i1 = 1.0 / p1
+        u1 = jnp.where(cidx > k + 1, (u1raw - u0k1 * u0) * i1, 0.0)
+        uu = jnp.concatenate([u0, u1], axis=0)          # (2, b)
+        scr[:] = scr[:] - _dot(uu.T, uu)                # fused rank-2, MXU
+        scr[pl.ds(k, 1), :] = u0 + jnp.where(mk0, p0, 0.0)
+        scr[pl.ds(k + 1, 1), :] = u1 + jnp.where(mk1, p1, 0.0)
+        return carry
+
+    jax.lax.fori_loop(0, b // 2, body, 0, unroll=False)
+
+
+def _diag_chol_blocked(d, scr=None, sub: int = 128):
+    """Lower-Cholesky of a (P, P) symmetric VALUE via `sub`-wide panels.
+
+    The sequential scalar loop only ever factorizes a (sub, sub) diagonal
+    block — the below-diagonal rows of each panel come from one MXU
+    Newton-inverse solve, and the trailing coupling is one MXU Schur
+    update. With a (sub, sub) VMEM scratch ref `scr` (kernel callers), the
+    diagonal factorization runs as the in-place dynamic-row-slice loop
+    (`_chol_sym_inplace`); without one (plain-XLA callers) it falls back to
+    the masked-reduction panel loop. All offsets static — safe inside a
+    Mosaic kernel body.
+    """
+    from .trisolve import _newton_tril_inv
+
+    def chol_sub(block):
+        b = block.shape[0]
+        if scr is None or scr.shape[0] != b or not DIAG_REF_SLICE:
+            return _panel_cholesky(block) * _panel_mask(b, b, block.dtype)
+        scr[:] = block
+        _chol_sym_inplace(scr)
+        return scr[:].T
+
+    p = d.shape[0]
+    if p <= sub:
+        return chol_sub(d)
+    cols = []
+    trail = d
+    for q in range(p // sub):
+        o = q * sub
+        m = p - o
+        l11 = chol_sub(trail[:sub, :sub])
+        if m > sub:
+            l21 = _dot(trail[sub:, :sub], _newton_tril_inv(l11).T)
+            pan = jnp.concatenate([l11, l21], axis=0)
+        else:
+            pan = l11
+        if o:
+            pan = jnp.concatenate(
+                [jnp.zeros((o, sub), d.dtype), pan], axis=0)
+        cols.append(pan)
+        if m > sub:
+            trail = trail[sub:, sub:] - _dot(l21, l21.T)
+    return jnp.concatenate(cols, axis=1)
 
 
 def _mask_lower(a):
@@ -89,20 +200,28 @@ def _panel_mask(m, b, dtype):
     return (ridx >= cidx).astype(dtype)
 
 
-def _chol_kernel(a_ref, out_ref):
+def _chol_kernel(a_ref, out_ref, dscr):
     """In-place blocked factorization on the VMEM output ref. All block
     indices are static Python ints, so every ref access is a static slice
-    (Mosaic lowers those; value-level dynamic_update_slice it does not)."""
+    (Mosaic lowers those; value-level dynamic_update_slice it does not).
+
+    The scalar rank-1 loop only ever touches the (BLK, BLK) diagonal block;
+    the below-diagonal part of each panel comes from the Newton-inverse MXU
+    solve and the trailing update is one MXU matmul — per-column scalar work
+    stays O(BLK^2) instead of O(n*BLK)."""
+    from .trisolve import _newton_tril_inv
+
     n = a_ref.shape[0]
     nb = n // BLK
     out_ref[:] = a_ref[:]
     for j in range(nb):
         s = j * BLK
-        panel = _panel_cholesky(out_ref[s:, s : s + BLK])
-        panel = panel * _panel_mask(n - s, BLK, panel.dtype)
-        out_ref[s:, s : s + BLK] = panel
+        l11 = _diag_chol_blocked(out_ref[s : s + BLK, s : s + BLK], dscr)
+        out_ref[s : s + BLK, s : s + BLK] = l11
         if j < nb - 1:
-            l21 = panel[BLK:]
+            inv = _newton_tril_inv(l11)
+            l21 = _dot(out_ref[s + BLK :, s : s + BLK], inv.T)
+            out_ref[s + BLK :, s : s + BLK] = l21
             a22 = out_ref[s + BLK :, s + BLK :]
             out_ref[s + BLK :, s + BLK :] = a22 - _dot(l21, l21.T)
     out_ref[:] = _mask_lower(out_ref[:])
@@ -113,7 +232,10 @@ def pallas_cholesky(a: jax.Array) -> jax.Array:
     """Lower-Cholesky of an SPD matrix via the fused VMEM kernel.
 
     Requires N % 128 == 0 (pad with an identity block otherwise — see
-    `cholesky_blocked`).
+    `cholesky_blocked`). Up to n = 2048 the whole matrix stays resident:
+    in+out+dot temporaries at 2048 need ~48 MB of scoped VMEM, inside the
+    raised 100 MB budget (v5e physical VMEM is 128 MB; the 16 MB default is
+    just XLA's conservative scoping default).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -125,9 +247,12 @@ def pallas_cholesky(a: jax.Array) -> jax.Array:
         out_shape=jax.ShapeDtypeStruct(a.shape, a.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((BLK, BLK), a.dtype)],
         cost_estimate=pl.CostEstimate(flops=n**3 // 3,
                                       bytes_accessed=2 * n * n * 4,
                                       transcendentals=n),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(a)
 
 
@@ -136,7 +261,9 @@ def pallas_cholesky(a: jax.Array) -> jax.Array:
 # --------------------------------------------------------------------------
 def _hbm_panel_width(n: int) -> int:
     """Panel width P sized so panel (n,P) + double-buffered column stream
-    (2,n,P) stay ~12 MB of VMEM."""
+    (2,n,P) + the HIGHEST-precision dot temporaries (~2-3x nP more) stay
+    inside the raised 64 MB scoped-VMEM budget (vmem_limit_bytes below;
+    v5e physical VMEM is 128 MB)."""
     if n <= 4096:
         return 256
     if n <= 8192:
@@ -144,23 +271,28 @@ def _hbm_panel_width(n: int) -> int:
     return 64
 
 
-def _hbm_chol_kernel(a_hbm, out_hbm, panel, diag, kcol, krow,
-                     sem_p, sem_d, sem_kc, sem_kr, sem_s, *, n, P, T):
+def _hbm_chol_kernel(a_hbm, out_hbm, panel, kcol, dscr, sem_p, sem_k, sem_s,
+                     *, n, P):
     """Left-looking panel factorization, matrix resident in HBM.
 
-    Per block column j (all offsets traced, all DMA sizes static):
-      1. DMA block column j of A (full height) + its diagonal block to VMEM;
-      2. stream previously factorized columns k<j back from HBM
-         (double-buffered DMA overlapped with compute) and apply the
-         left-looking update  panel -= L[:,k] @ L[row j,k]^T  on the MXU,
-         row-tiled with @pl.when so tiles fully above the diagonal are
-         skipped (~halves the junk-row FLOPs);
-      3. factorize the P x P diagonal block with the rank-1 VPU loop, invert
-         it exactly by Newton doubling (trisolve.py), and form the
-         below-diagonal block as ONE MXU matmul  panel @ L11^{-T}  — the
-         LAPACK sub-panel trick that keeps the sequential scalar work at
-         O(n P^2) instead of O(n^2 P);
-      4. DMA the masked column + L11 back to HBM.
+    The block-column loop j is a STATIC Python loop (nb is known at trace
+    time), which makes every row offset static. That buys, per streamed
+    column k < j:
+      - an exact-height DMA — only rows [s:n] of column k move (the rows the
+        update touches), not the full column;
+      - ONE MXU dot — the L[s:s+P, k]^T factor is rows [0:P] of the streamed
+        block, so the diagonal-block update folds into the same matmul
+        (no separate diag scratch, krow DMA, or row-tile predication);
+      - static DMA slots — the k loop advances in PAIRS (slot 0 = even k,
+        slot 1 = odd k, one-pair-ahead prefetch), so there is no
+        lax.cond slot select (which reads BOTH buffers) anywhere.
+    After the k sweep: factorize the P x P diagonal block with the rank-1
+    VPU loop, invert it exactly by Newton doubling (trisolve.py), and form
+    the below-diagonal block as ONE MXU matmul  panel @ L11^{-T}  — the
+    LAPACK sub-panel trick that keeps the sequential scalar work at
+    O(n P^2) instead of O(n^2 P). The strict upper triangle of the output
+    is zeroed by the caller (jnp.tril) — cheaper as one fused XLA pass than
+    as per-column zero DMAs.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -168,85 +300,67 @@ def _hbm_chol_kernel(a_hbm, out_hbm, panel, diag, kcol, krow,
     from .trisolve import _newton_tril_inv
 
     nb = n // P
-    tile = n // T
-    ridx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
 
-    def col_step(j, carry):
+    for j in range(nb):
         s = j * P
-        pltpu.make_async_copy(a_hbm.at[:, pl.ds(s, P)], panel, sem_p).start()
-        pltpu.make_async_copy(a_hbm.at[pl.ds(s, P), pl.ds(s, P)], diag,
-                              sem_d).start()
-        pltpu.make_async_copy(a_hbm.at[:, pl.ds(s, P)], panel, sem_p).wait()
-        pltpu.make_async_copy(a_hbm.at[pl.ds(s, P), pl.ds(s, P)], diag,
-                              sem_d).wait()
+        m = n - s
+        cp = pltpu.make_async_copy(a_hbm.at[pl.ds(s, m), pl.ds(s, P)],
+                                   panel.at[pl.ds(0, m)], sem_p)
+        cp.start()
+        cp.wait()
 
-        def k_dmas(k, slot):
-            return (
-                pltpu.make_async_copy(out_hbm.at[:, pl.ds(k * P, P)],
-                                      kcol.at[slot], sem_kc.at[slot]),
-                pltpu.make_async_copy(
-                    out_hbm.at[pl.ds(s, P), pl.ds(k * P, P)],
-                    krow.at[slot], sem_kr.at[slot]),
-            )
+        def k_dma(k, slot, s=s, m=m):
+            # rows [s:n] of factorized column k (row range static per j)
+            return pltpu.make_async_copy(
+                out_hbm.at[pl.ds(s, m), pl.ds(k * P, P)],
+                kcol.at[slot, pl.ds(0, m)], sem_k.at[slot])
 
-        @pl.when(j > 0)
-        def _():
-            for dma in k_dmas(0, 0):
-                dma.start()
+        def apply(slot, s=s, m=m):
+            # one dot updates the diag block AND everything below it:
+            # kr = L[s:s+P, k]^T is rows [0:P] of the streamed block
+            kr = kcol[slot, 0:P, :]
+            panel[0:m, :] = panel[0:m, :] - _dot(kcol[slot, 0:m, :], kr.T)
 
-        def k_body(k, _):
-            slot = jax.lax.rem(k, 2)
+        if j > 0:
+            k_dma(0, 0).start()
+        if j > 1:
+            k_dma(1, 1).start()
 
-            @pl.when(k + 1 < j)
+        def pair_body(i, _, j=j):
+            k0 = 2 * i
+
+            k_dma(k0, 0).wait()
+            apply(0)
+
+            @pl.when(k0 + 2 < j)
             def _():
-                for dma in k_dmas(k + 1, jax.lax.rem(k + 1, 2)):
-                    dma.start()
+                k_dma(k0 + 2, 0).start()
 
-            for dma in k_dmas(k, slot):
-                dma.wait()
-            # slot selection via cond keeps every ref read a STATIC slice
-            # (Mosaic does not lower value reads at traced leading indices)
-            kr = jax.lax.cond(slot == 0, lambda: krow[0], lambda: krow[1])
-            diag[:] = diag[:] - _dot(kr, kr.T)
-            for t in range(T):
-                lo = t * tile
+            @pl.when(k0 + 1 < j)
+            def _():
+                k_dma(k0 + 1, 1).wait()
+                apply(1)
 
-                @pl.when(lo + tile > s)
-                def _():
-                    upd = jax.lax.cond(
-                        slot == 0,
-                        lambda: _dot(kcol[0, lo:lo + tile, :], kr.T),
-                        lambda: _dot(kcol[1, lo:lo + tile, :], kr.T))
-                    panel[lo:lo + tile, :] = panel[lo:lo + tile, :] - upd
+            @pl.when(k0 + 3 < j)
+            def _():
+                k_dma(k0 + 3, 1).start()
+
             return 0
 
-        jax.lax.fori_loop(0, j, k_body, 0)
+        if j > 0:
+            jax.lax.fori_loop(0, (j + 1) // 2, pair_body, 0)
 
-        l11 = _panel_cholesky(diag[:]) * _panel_mask(P, P, diag.dtype)
+        l11 = _diag_chol_blocked(panel[0:P, :], dscr)
         inv = _newton_tril_inv(l11)
-        diag[:] = l11
-        for t in range(T):
-            lo = t * tile
+        panel[0:P, :] = l11
+        if m > P:
+            panel[P:m, :] = _dot(panel[P:m, :], inv.T)
 
-            @pl.when(lo + tile > s)
-            def _():
-                below = _dot(panel[lo:lo + tile, :], inv.T)
-                rmask = (ridx[lo:lo + tile] >= s + P).astype(below.dtype)
-                panel[lo:lo + tile, :] = below * rmask
-
-            @pl.when(lo + tile <= s)
-            def _():
-                panel[lo:lo + tile, :] = jnp.zeros((tile, P), panel.dtype)
-
-        pltpu.make_async_copy(panel, out_hbm.at[:, pl.ds(s, P)], sem_s).start()
-        pltpu.make_async_copy(panel, out_hbm.at[:, pl.ds(s, P)], sem_s).wait()
-        pltpu.make_async_copy(diag, out_hbm.at[pl.ds(s, P), pl.ds(s, P)],
-                              sem_d).start()
-        pltpu.make_async_copy(diag, out_hbm.at[pl.ds(s, P), pl.ds(s, P)],
-                              sem_d).wait()
-        return carry
-
-    jax.lax.fori_loop(0, nb, col_step, 0)
+        cp = pltpu.make_async_copy(panel.at[pl.ds(0, m)],
+                                   out_hbm.at[pl.ds(s, m), pl.ds(s, P)],
+                                   sem_s)
+        cp.start()
+        cp.wait()
 
 
 @partial(jax.jit, static_argnames=("panel_width", "interpret"))
@@ -263,30 +377,79 @@ def pallas_cholesky_hbm(a: jax.Array, *, panel_width: int | None = None,
 
     n = a.shape[-1]
     P = panel_width or _hbm_panel_width(n)
-    T = 8
-    assert n % P == 0 and (n // T) % 8 == 0, (n, P)
-    return pl.pallas_call(
-        partial(_hbm_chol_kernel, n=n, P=P, T=T),
+    assert n % P == 0, (n, P)
+    l = pl.pallas_call(
+        partial(_hbm_chol_kernel, n=n, P=P),
         out_shape=jax.ShapeDtypeStruct(a.shape, a.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((n, P), a.dtype),       # panel
-            pltpu.VMEM((P, P), a.dtype),       # diagonal block
             pltpu.VMEM((2, n, P), a.dtype),    # streamed k columns (2 slots)
-            pltpu.VMEM((2, P, P), a.dtype),    # streamed k diag rows
+            pltpu.VMEM((128, 128), a.dtype),   # diag-chol working block
             pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
-        cost_estimate=pl.CostEstimate(flops=n**3,
-                                      bytes_accessed=n**3 // P * 4,
+        cost_estimate=pl.CostEstimate(flops=n**3 // 3,
+                                      bytes_accessed=n**3 // (2 * P) * 4,
                                       transcendentals=n),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(a)
+    # the kernel writes only rows >= the block-column start; the strict
+    # upper triangle keeps whatever HBM held — zero it in one fused pass.
+    return jnp.tril(l)
+
+
+@jax.jit
+def _xl_head(a):
+    h = a.shape[-1] // 2
+    return a[:h, :h]
+
+
+@jax.jit
+def _xl_tail(a, l11):
+    """L21 = (L11^{-1} A21^T)^T via the rolled blocked solve, plus the Schur
+    complement A22 - L21 L21^T — one jitted program (no Pallas inside, so
+    the compile payload stays small)."""
+    from .trisolve import _xla_tril_solve_loop
+
+    h = l11.shape[-1]
+    l21 = _xla_tril_solve_loop(l11, a[h:, :h].T, trans=False).T
+    schur = a[h:, h:] - jnp.matmul(l21, l21.T,
+                                   precision=jax.lax.Precision.HIGHEST)
+    return l21, schur
+
+
+@jax.jit
+def _xl_assemble(l11, l21, l22):
+    h, n = l11.shape[-1], l11.shape[-1] + l22.shape[-1]
+    top = jnp.concatenate([l11, jnp.zeros((h, n - h), l11.dtype)], axis=1)
+    return jnp.concatenate([top, jnp.concatenate([l21, l22], axis=1)], axis=0)
+
+
+def _chol_recursive_tpu(a: jax.Array) -> jax.Array:
+    """Half-splitting recursion for n > 4096:
+        chol([[A11, .], [A21, A22]]) = [[L11, 0], [L21, L22]]
+    with L11 = chol(A11), L21 = A21 L11^{-T} (rolled blocked triangular
+    solve) and L22 = chol(A22 - L21 L21^T). Leaves go to
+    `pallas_cholesky_hbm`; the solve + Schur GEMM carry the FLOPs bulk on
+    big MXU matmuls.
+
+    HOST-LEVEL recursion: each piece is its own jitted dispatch (5 per
+    level, async-pipelined). Inlining two 4096 Pallas leaves into one
+    program exceeds the remote-compile payload limit (HTTP 413 measured at
+    n=8192), so this function must be called EAGERLY for n > 4096 —
+    `cholesky_blocked` falls back to XLA native when tracing at that size."""
+    n = a.shape[-1]
+    if n <= 4096:
+        return pallas_cholesky_hbm(a)
+    l11 = _chol_recursive_tpu(_xl_head(a))
+    l21, schur = _xl_tail(a, l11)
+    l22 = _chol_recursive_tpu(schur)
+    return _xl_assemble(l11, l21, l22)
 
 
 def _blocked_cholesky_xla(a):
@@ -317,7 +480,7 @@ def _chol_core(a, kind: str):
     if kind == "pallas":
         return pallas_cholesky(a)
     if kind == "hbm":
-        return pallas_cholesky_hbm(a)
+        return _chol_recursive_tpu(a)
     if kind == "native":
         return jnp.linalg.cholesky(a)
     return _blocked_cholesky_xla(a)
@@ -353,20 +516,34 @@ def cholesky_blocked(a: jax.Array, *, use_pallas: bool | None = None) -> jax.Arr
     """Blocked Cholesky with automatic padding and backend dispatch.
 
     use_pallas: True forces a fused Pallas kernel (the VMEM-resident one for
-    n < 2048, the HBM-streaming `pallas_cholesky_hbm` at n >= 2048); None =
-    auto picks the fastest measured option per backend — on TPU, XLA's
-    NATIVE cholesky below n=2048 (the VMEM kernel's sequential pivot chain
-    is ~1.9x slower at n=1024, docs/BENCHMARKS.md) and the HBM-streaming
-    kernel at n >= 2048 (left-looking MXU panels; crossover measured in
-    docs/BENCHMARKS.md); the blocked jnp algorithm on CPU. Every path
-    carries the two-triangular-solve custom VJP, so `gp.fit` differentiates
-    through the factorization with O(n^3) solves instead of unrolled-loop
-    autodiff.
+    n < 2048, the HBM-streaming `pallas_cholesky_hbm` / host-level
+    recursion at n >= 2048); None = auto picks the fastest measured option
+    per backend — on TPU, XLA's NATIVE cholesky through n = 4096 (the
+    sequential pivot chain keeps the Pallas kernels 4-14% behind there,
+    within-session A/B in docs/BENCHMARKS.md) and the Pallas HBM recursion
+    for n > 4096 when called eagerly (the host-level dispatch cannot run
+    under an outer jit — remote-compile payload limit, so a TRACED call at
+    that size falls back to XLA native); the blocked jnp algorithm on CPU.
+    Every path carries the two-triangular-solve custom VJP, so `gp.fit`
+    differentiates through the factorization with O(n^3) solves instead of
+    unrolled-loop autodiff.
     """
+    import jax.core
+
     n = a.shape[-1]
     on_tpu = jax.default_backend() == "tpu"
-    hbm = (use_pallas or use_pallas is None) and on_tpu and n >= 2048
-    blk = _hbm_panel_width(n) if hbm else BLK
+    tracing = isinstance(a, jax.core.Tracer)
+    want_pallas = use_pallas or use_pallas is None
+    if on_tpu and want_pallas and 2048 <= n < 3072:
+        hbm = True       # HBM kernel beats XLA native here (19% at n=2048,
+        #                  readback-protocol A/B in docs/BENCHMARKS.md)
+    elif on_tpu and bool(use_pallas) and n >= 3072 and not (
+            tracing and n > 4096):
+        hbm = True       # forced; host-level recursion above 4096 is
+        #                  eager-only (remote-compile payload limit)
+    else:
+        hbm = False
+    blk = (1024 if n > 4096 else _hbm_panel_width(n)) if hbm else BLK
     pad = (-n) % blk
     if pad:
         a_p = jnp.zeros((n + pad, n + pad), a.dtype)
@@ -376,8 +553,10 @@ def cholesky_blocked(a: jax.Array, *, use_pallas: bool | None = None) -> jax.Arr
 
     if hbm:
         kind = "hbm"
+    elif use_pallas and on_tpu:
+        kind = "pallas" if n < 2048 else "native"
     elif use_pallas:
-        kind = "pallas"
+        kind = "xla"
     elif on_tpu:
         kind = "native"
     else:

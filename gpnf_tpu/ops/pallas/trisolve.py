@@ -1,10 +1,13 @@
 """Blocked triangular solve as a fused Pallas TPU kernel.
 
-XLA's native `triangular_solve` lowers to a scalar while-loop on TPU and is
-catastrophically slow (~27ms for a 512x512 lower solve on v5e — measured; the
-GP marginal-likelihood pipeline is ~30x solve-bound because of it). This
-kernel replaces the scalar recurrence with block forward/backward
-substitution:
+Block forward/backward substitution replacing the scalar column recurrence
+(round-3 correction: earlier rounds claimed XLA's native jitted solve is
+~27 ms at n=512; that was a broken-measurement artifact over the axon
+tunnel — under the sound readback protocol the two backends are on par,
+docs/BENCHMARKS.md. This implementation remains the default for CPU/TPU
+grad parity, for use INSIDE other Pallas kernels via `_newton_tril_inv`,
+and because its rolled variant stays under the tunnel's compile-payload
+limit at n >= 4096 where XLA's unrolled expander exceeds it):
 
   - each 128x128 diagonal block is inverted EXACTLY by Newton iteration
     X <- X (2I - L X) seeded with X0 = diag(1/diag): for triangular L the
@@ -113,12 +116,46 @@ def pallas_tril_solve(l: jax.Array, b: jax.Array, *, trans: bool = False):
 
 def _xla_tril_solve(l, b, *, trans: bool):
     nb = l.shape[-1] // BLK
+    if nb > 16:
+        return _xla_tril_solve_loop(l, b, trans=trans)
 
     def get_l(i, j):
         return jax.lax.dynamic_slice(l, (i * BLK, j * BLK), (BLK, BLK))
 
     blocks = _blocked_lower_solve(get_l, b, nb, trans=trans)
     return jnp.concatenate(blocks, axis=0)
+
+
+@partial(jax.jit, static_argnames=("trans",))
+def _xla_tril_solve_loop(l, b, *, trans: bool):
+    """Rolled block substitution for large nb (one fori_loop body = compact
+    HLO; the Python-unrolled version emits O(nb^2) dots, which exceeds the
+    remote-compile payload limit at nb >= 32 — hit by the n=8192 recursive
+    Cholesky's half-size solves).
+
+    Each iteration takes ONE full-width (BLK, n) x (n, p) MXU dot against
+    the solution buffer: not-yet-solved blocks of x are zero, and L's
+    row-block j is zero right of its diagonal block, so the full-width dot
+    computes exactly sum_{i<j} L[j,i] x[i] (resp. the transposed tail sum).
+    2x the strictly-triangular FLOPs, but rolled, batched, and MXU-shaped.
+    """
+    n = l.shape[-1]
+    p = b.shape[1]
+    nb = n // BLK
+
+    def body(t, x):
+        j = t if not trans else nb - 1 - t
+        s = j * BLK
+        row = jax.lax.dynamic_slice(l, (s, 0), (BLK, n)) if not trans \
+            else jax.lax.dynamic_slice(l, (0, s), (n, BLK)).T
+        acc = jax.lax.dynamic_slice(b, (s, 0), (BLK, p)) - _dot(row, x)
+        d = jax.lax.dynamic_slice(l, (s, s), (BLK, BLK))
+        inv = _newton_tril_inv(d)
+        xj = _dot(inv, acc) if not trans else _dot(inv.T, acc)
+        return jax.lax.dynamic_update_slice(x, xj, (s, 0))
+
+    x0 = jnp.zeros_like(b)
+    return jax.lax.fori_loop(0, nb, body, x0)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))

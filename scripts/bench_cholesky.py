@@ -1,10 +1,21 @@
 #!/usr/bin/env python
 """Blocked-Cholesky throughput (GFLOP/s) — the BASELINE.json tracked metric.
 
-Compares the fused Pallas kernel against XLA's native cholesky on the local
-accelerator across sizes. Prints one JSON line per size.
+Compares the fused Pallas kernels against XLA's native cholesky on the local
+accelerator across sizes. Prints one JSON line per size+impl.
+
+Measurement protocol (round 3): eager DATA-DEPENDENT rep chain (each input
+is the previous output perturbed, so nothing can be elided or overlapped)
+finished by a SCALAR HOST READBACK, minus a separately-measured readback
+RTT. This is the only protocol that measures device execution over the axon
+tunnel: `jax.block_until_ready` there resolves on server enqueue-ACK, not
+completion (measured: "0.05 ms" n=8192 factorizations), and chaining reps
+inside one jitted fori_loop both hits the remote-compile payload limit at
+large n and measured ~2x slower than reality for XLA's expander at n=4096
+(11.4 vs 5.5 ms, docs/BENCHMARKS.md).
 """
 import json
+import os
 import sys
 import time
 
@@ -18,14 +29,43 @@ def main():
 
     from gpnf_tpu.utils.jax_setup import setup
     setup()
-    from gpnf_tpu.ops.pallas.cholesky import (cholesky_blocked,
+    from gpnf_tpu.ops.pallas.cholesky import (_chol_recursive_tpu,
+                                              cholesky_blocked,
                                               pallas_cholesky,
                                               pallas_cholesky_hbm)
 
     on_tpu = jax.default_backend() == "tpu"
     rng = np.random.default_rng(0)
 
-    import os
+    pick = jax.jit(lambda x: x[0, 0])
+    pert = jax.jit(lambda base, prev, s: base + s * prev)
+
+    def timeit(fn, spd, reps):
+        """Median of 3 rounds; reps sized by the caller so the chain's
+        execution total (reps x exec) dwarfs the 30-100 ms RTT jitter of
+        the single end readback."""
+        out = fn(spd)
+        float(pick(out))  # compile + complete
+        float(pick(pert(spd, out, jnp.float32(1e-3))))
+        rtts = []
+        for _ in range(5):
+            t0 = time.time()
+            float(pick(spd))
+            rtts.append(time.time() - t0)
+        rtt = sorted(rtts)[2]
+        rounds = []
+        for _ in range(3):
+            t0 = time.time()
+            for k in range(reps):
+                # scale must beat fp32 resolution of the spd entries
+                # (diag ~ n, eps ~ n*2^-23) or inputs are BIT-IDENTICAL and
+                # the tunnel can serve repeat executions from cache
+                out = fn(pert(spd, out, jnp.float32(1e-3 * (k % 7 + 1))))
+            float(pick(out))  # forces the whole chain to really execute
+            rounds.append(time.time() - t0)
+        dt = sorted(rounds)[1]
+        return max(dt - rtt, 1e-9) / reps, out
+
     sizes = tuple(int(s) for s in os.environ.get(
         "CHOL_SIZES", "256,512,1024,2048,4096,8192").split(","))
     for n in sizes:
@@ -34,38 +74,34 @@ def main():
 
         impls = {"xla_native": jax.jit(jnp.linalg.cholesky)}
         if on_tpu:
-            if n < 2048:
+            if n <= 2048:
                 impls["pallas_fused"] = jax.jit(pallas_cholesky)
-            else:
+            if 2048 <= n <= 4096:
                 impls["pallas_hbm"] = jax.jit(pallas_cholesky_hbm)
+            if n > 4096:
+                # host-level recursion (5 async dispatches/level); cannot
+                # run under an outer jit (remote-compile payload limit)
+                impls["pallas_hbm_xl"] = _chol_recursive_tpu
         else:
             impls["blocked_xla"] = jax.jit(
                 lambda m: cholesky_blocked(m, use_pallas=False))
 
-        reps = max(3, min(50, (2048 // n) * 12 + 3))
-
-        def chained(fn):
-            # remote-tunnel-safe timing: data-dependent chain of `reps`
-            # factorizations inside ONE dispatch, so neither async dispatch
-            # nor per-call RTT pollutes the measurement
-            def body(_, a):
-                l = fn(a)
-                return spd + 1e-12 * l
-            return jax.jit(lambda a: jax.lax.fori_loop(0, reps, body, a))
-
+        # total chain execution must dwarf RTT jitter: ~>=400 ms per round
+        reps = {256: 200, 512: 200, 1024: 150, 2048: 100,
+                4096: 40}.get(n, 12)
         for name, fn in impls.items():
-            run = chained(fn)
-            jax.block_until_ready(run(spd))
-            t0 = time.time()
-            jax.block_until_ready(run(spd))
-            dt = (time.time() - t0) / reps
-            l = fn(spd)
-            gflops = (n**3 / 3) / dt / 1e9
-            err = float(jnp.max(jnp.abs(l @ l.T - spd))) / n
-            print(json.dumps({"metric": f"cholesky_{name}_n{n}",
-                              "value": round(gflops, 2), "unit": "GFLOP/s",
-                              "ms": round(dt * 1e3, 3),
-                              "rel_err": f"{err:.2e}"}))
+            try:
+                dt, l = timeit(fn, spd, reps)
+                gflops = (n**3 / 3) / dt / 1e9
+                err = float(jnp.max(jnp.abs(l @ l.T - spd))) / n
+                print(json.dumps({"metric": f"cholesky_{name}_n{n}",
+                                  "value": round(gflops, 2),
+                                  "unit": "GFLOP/s",
+                                  "ms": round(dt * 1e3, 3),
+                                  "rel_err": f"{err:.2e}"}), flush=True)
+            except Exception as e:  # e.g. remote-compile payload limit
+                print(json.dumps({"metric": f"cholesky_{name}_n{n}",
+                                  "error": str(e)[:160]}), flush=True)
 
 
 if __name__ == "__main__":

@@ -56,19 +56,57 @@ def main():
         jax.block_until_ready(loss)
     compile_s = time.time() - t0
 
+    # bench.py protocol: 3 in-process measurement rounds, report the median
+    # with spread so one number carries its own error bar (the r2 single-shot
+    # runs spread 104-244 ms/step on tunnel timing noise).
     reps = 10
+    rounds = []
+    losses = []
+    for _ in range(3):
+        t0 = time.time()
+        for i in range(reps):
+            rng, sub = jax.random.split(rng)
+            params, opt_state, loss = step(params, opt_state, lr, hr, sub,
+                                           jnp.asarray(i + 2))
+            # true host readback per step: over the axon tunnel
+            # block_until_ready resolves on enqueue-ACK, not completion
+            # (docs/BENCHMARKS.md measurement protocol)
+            losses.append(float(loss))
+        rounds.append((time.time() - t0) / reps)
+    assert losses[-1] != losses[0], "loss did not change; measurement invalid"
+    rounds.sort()
+    dt = rounds[1]
+    spread = (rounds[-1] - rounds[0]) / dt
+
+    # chained-dispatch device time: `reps` full train steps inside ONE
+    # dispatch (params/opt state carried through lax.fori_loop), so the
+    # axon-tunnel RTT + per-step host work is paid once. This is the pure
+    # device step time a local host would see.
+    def chained(p, s, r):
+        def body(i, carry):
+            p_, s_, r_, _ = carry
+            r_, sub = jax.random.split(r_)
+            p_, s_, l_ = step(p_, s_, lr, hr, sub, i + 2)
+            return (p_, s_, r_, l_)
+        return jax.lax.fori_loop(0, reps, body,
+                                 (p, s, r, jnp.asarray(0.0)))
+
+    chained_j = jax.jit(chained)
     t0 = time.time()
-    for i in range(reps):
-        rng, sub = jax.random.split(rng)
-        params, opt_state, loss = step(params, opt_state, lr, hr, sub,
-                                       jnp.asarray(i + 2))
-        jax.block_until_ready(loss)  # per-step: tunnel reports async early
-    dt = (time.time() - t0) / reps
+    float(chained_j(params, opt_state, rng)[3])  # host readback = completion
+    chain_compile_s = time.time() - t0
+    t0 = time.time()
+    float(chained_j(params, opt_state, rng)[3])
+    dt_dev = (time.time() - t0) / reps
 
     print(json.dumps({"metric": f"{tag}_train_throughput",
                       "value": round(batch / dt, 2), "unit": "images/sec/chip",
                       "step_ms": round(dt * 1e3, 1),
-                      "compile_s": round(compile_s, 1),
+                      "spread": round(spread, 4),
+                      "repeats_ms": [round(r * 1e3, 1) for r in rounds],
+                      "device_img_s": round(batch / dt_dev, 2),
+                      "device_step_ms": round(dt_dev * 1e3, 1),
+                      "compile_s": round(compile_s + chain_compile_s, 1),
                       "loss": round(float(loss), 3)}))
 
 

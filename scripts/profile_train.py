@@ -46,6 +46,47 @@ def capture_sample(steps: int, trace_dir: str):
           file=sys.stderr)
 
 
+def capture_srflow(steps: int, trace_dir: str):
+    """Trace the SRFlow 80px K=8 training step (VERDICT r2 item 7: give the
+    SRFlow side the same step-anatomy table the mAR-SCF side has)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gpnf_tpu.utils.jax_setup import setup as jax_setup
+    jax_setup()
+    from gpnf_tpu.models.srflow import SRFlowConfig, SRFlowNet
+    from gpnf_tpu.training.srflow_loop import (SRTrainConfig,
+                                               make_srflow_optimizer,
+                                               make_srflow_train_step)
+    from gpnf_tpu.utils.jax_setup import init_on_cpu, to_default_device
+
+    batch = int(os.environ.get("BENCH_BATCH", 16))
+    cfg = SRFlowConfig(scale=4, hr_size=80, K=8, L=3, rrdb_nb=8,
+                       stack_blocks=(1, 4, 7))
+    model = SRFlowNet(cfg)
+    params = to_default_device(init_on_cpu(model.init, jax.random.PRNGKey(0)))
+    tcfg = SRTrainConfig(niter=1000, batch_size=batch)
+    opt, mask = make_srflow_optimizer(tcfg, params)
+    opt_state = to_default_device(init_on_cpu(opt.init, params))
+    step = make_srflow_train_step(model, tcfg, opt, mask)
+    lr = jax.random.uniform(jax.random.PRNGKey(1), (batch, 3, 20, 20))
+    hr = jax.random.uniform(jax.random.PRNGKey(2), (batch, 3, 80, 80))
+    rng = jax.random.PRNGKey(3)
+    for i in range(2):  # second call recompiles once (opt-state promotion)
+        params, opt_state, loss = step(params, opt_state, lr, hr, rng,
+                                       jnp.asarray(i))
+        jax.block_until_ready(loss)
+    jax.profiler.start_trace(trace_dir)
+    for i in range(steps):
+        rng, sub = jax.random.split(rng)
+        params, opt_state, loss = step(params, opt_state, lr, hr, sub,
+                                       jnp.asarray(i + 2))
+    jax.block_until_ready(loss)
+    jax.profiler.stop_trace()
+    print(f"# srflow trace captured: {steps} steps -> {trace_dir}",
+          file=sys.stderr)
+
+
 def capture(steps: int, trace_dir: str):
     import jax
     import jax.numpy as jnp
@@ -150,12 +191,15 @@ def main():
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--trace_dir", default="/tmp/gpnf_xprof")
     ap.add_argument("--report_only", action="store_true")
-    ap.add_argument("--mode", choices=("train", "sample"), default="train")
+    ap.add_argument("--mode", choices=("train", "sample", "srflow"),
+                    default="train")
     args = ap.parse_args()
     if not args.report_only:
         os.makedirs(args.trace_dir, exist_ok=True)
         if args.mode == "sample":
             capture_sample(args.steps, args.trace_dir)
+        elif args.mode == "srflow":
+            capture_srflow(args.steps, args.trace_dir)
         else:
             capture(args.steps, args.trace_dir)
     report(args.trace_dir, args.top, args.steps)

@@ -169,6 +169,26 @@ def test_tril_solve_matches_scipy():
     np.testing.assert_allclose(xv, ref, rtol=2e-4, atol=2e-5)
 
 
+def test_tril_solve_rolled_large_nb():
+    """nb > 16 dispatches to the fori_loop block substitution (compact HLO
+    for the n=8192 recursive-Cholesky solves); values must match the
+    unrolled path."""
+    from gpnf_tpu.ops.pallas.trisolve import (_xla_tril_solve,
+                                              _xla_tril_solve_loop)
+
+    rng = np.random.default_rng(11)
+    n = 18 * 128
+    l = np.tril(rng.standard_normal((n, n)).astype(np.float32) * 0.05)
+    np.fill_diagonal(l, rng.uniform(1.0, 2.0, n).astype(np.float32))
+    b = rng.standard_normal((n, 8)).astype(np.float32)
+
+    for trans in (False, True):
+        x = np.asarray(_xla_tril_solve_loop(jnp.asarray(l), jnp.asarray(b),
+                                            trans=trans))
+        resid = (l.T if trans else l).astype(np.float64) @ x - b
+        assert np.abs(resid).max() < 1e-3
+
+
 def test_tril_solve_vjp_matches_native():
     from gpnf_tpu.ops.pallas.trisolve import tril_solve
 

@@ -77,6 +77,7 @@ def test_cholesky_kernel_interpret_mode():
     l = pl.pallas_call(
         _chol_kernel,
         out_shape=jax.ShapeDtypeStruct((128, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((128, 128), jnp.float32)],
         interpret=True,
     )(jnp.asarray(spd))
     ref = np.linalg.cholesky(spd.astype(np.float64))
@@ -131,6 +132,29 @@ def test_cholesky_blocked_grad_large_n():
 
     n = 2048
     x = jax.random.normal(jax.random.PRNGKey(3), (n, n)) / np.sqrt(n)
+    a = x @ x.T + jnp.eye(n)
+
+    def f_blocked(a):
+        return jnp.sum(jnp.log(jnp.diagonal(cholesky_blocked(a))))
+
+    def f_native(a):
+        return jnp.sum(jnp.log(jnp.diagonal(jnp.linalg.cholesky(a))))
+
+    g1 = jax.grad(f_blocked)(a)
+    g2 = jax.grad(f_native)(a)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=5e-3,
+                               atol=1e-5)
+
+
+@pytest.mark.slow
+def test_cholesky_blocked_grad_n4096():
+    """Same VJP agreement at n=4096, where the backward solves take the
+    ROLLED (fori_loop) block-substitution path (nb=32 > 16) — the path the
+    n>4096 host-level recursion depends on (VERDICT r2 item 3)."""
+    from gpnf_tpu.ops.pallas.cholesky import cholesky_blocked
+
+    n = 4096
+    x = jax.random.normal(jax.random.PRNGKey(4), (n, n)) / np.sqrt(n)
     a = x @ x.T + jnp.eye(n)
 
     def f_blocked(a):
