@@ -37,17 +37,21 @@ def main():
     # an RTT each over the axon tunnel)
     subs = jax.random.split(rng, reps)
     jax.block_until_ready(subs)
+    import jax.numpy as jnp
+
+    reduce = jax.jit(jnp.sum)
     t0 = time.time()
     for i in range(reps):
         xs = sample(params, subs[i])
-    jax.block_until_ready(xs)
+    # true host readback (execution is in-order, so reading the LAST
+    # dispatch's data implies the whole loop completed; block_until_ready
+    # alone resolves on tunnel enqueue-ACK — docs/BENCHMARKS.md protocol)
+    float(reduce(xs))
     dt = (time.time() - t0) / reps
 
     # multi-batch chaining: `reps` sample batches inside ONE dispatch (keys
     # consumed on device), so the axon-tunnel RTT is paid once — this is the
     # pure DEVICE throughput a local host would see (VERDICT r2 item 9).
-    import jax.numpy as jnp
-
     def chained(p, keys):
         def body(i, _):
             return jnp.sum(model.sample(p, keys[i], batch=batch,
@@ -55,9 +59,9 @@ def main():
         return jax.lax.fori_loop(0, reps, body, 0.0)
 
     chained_j = jax.jit(chained)
-    jax.block_until_ready(chained_j(params, subs))  # compile
+    float(chained_j(params, subs))  # compile + readback
     t0 = time.time()
-    jax.block_until_ready(chained_j(params, subs))
+    float(chained_j(params, subs))  # host readback = real completion
     dt_dev = (time.time() - t0) / reps
 
     print(json.dumps({"metric": "cifar10_mixlogcdf_K4_C96_sampling",
