@@ -147,7 +147,7 @@ def report(trace_dir: str, top: int, steps: int):
         xspace.ParseFromString(f.read())
 
     parent = re.compile(r"^%?(while|conditional|call)")
-    shape_re = re.compile(r"= ([a-z0-9]+\[[0-9,]*\])")
+    shape_re = re.compile(r"= \(?([a-z0-9]+\[[0-9,]*\])")
     for plane in xspace.planes:
         if "TPU" not in plane.name:
             continue
@@ -159,6 +159,8 @@ def report(trace_dir: str, top: int, steps: int):
         n_type = collections.Counter()
         by_shape = collections.Counter()
         n_shape = collections.Counter()
+        by_fusion = collections.Counter()
+        n_fusion = collections.Counter()
         grand = 0.0
         for ev in lines[0].events:
             name = ev_meta.get(ev.metadata_id, "?")
@@ -170,11 +172,15 @@ def report(trace_dir: str, top: int, steps: int):
             by_type[typ] += d
             n_type[typ] += 1
             grand += d
+            m = shape_re.search(name)
+            sig = f"{typ} {m.group(1)}" if m else typ
             if typ in ("copy", "reshape", "checkpoint", "transpose"):
-                m = shape_re.search(name)
-                sig = f"{typ} {m.group(1)}" if m else typ
                 by_shape[sig] += d
                 n_shape[sig] += 1
+            elif "fusion" in typ or typ in ("custom-call", "closed_call",
+                                            "rematted_computation"):
+                by_fusion[sig] += d
+                n_fusion[sig] += 1
         print(f"\n== {plane.name}: leaf-op device time "
               f"{grand/steps:.1f} ms/step ({steps} steps)")
         print(f"{'ms/step':>9} {'%':>6} {'count':>8}  op type")
@@ -183,6 +189,10 @@ def report(trace_dir: str, top: int, steps: int):
         print("\ndata-movement shapes:")
         for t, ms in by_shape.most_common(20):
             print(f"{ms/steps:9.3f} {100*ms/grand:6.2f} {n_shape[t]:8d}  {t}")
+        print("\ncompute fusions by output shape (attributes the generic "
+              "'fusion' bucket):")
+        for t, ms in by_fusion.most_common(25):
+            print(f"{ms/steps:9.3f} {100*ms/grand:6.2f} {n_fusion[t]:8d}  {t}")
 
 
 def main():
