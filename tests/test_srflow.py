@@ -138,3 +138,38 @@ def test_srflow_train_step_runs():
     # RRDB params must be frozen before the delay elapses
     np.testing.assert_allclose(np.asarray(p1["rrdb"]["conv_first"]["w"]),
                                w_before)
+
+
+def test_resume_across_optstate_format_change(tmp_path):
+    """Resuming from a checkpoint whose optimizer state has a DIFFERENT
+    pytree structure (e.g. per-leaf Adam states saved before the
+    optax.flatten switch) must fall back to a params-only restore instead
+    of crashing (srflow_loop.py auto-resume KeyError fallback)."""
+    import optax
+
+    from gpnf_tpu.training.checkpoints import CheckpointManager
+    from gpnf_tpu.training.srflow_loop import (SRTrainConfig,
+                                               make_srflow_optimizer)
+
+    cfg = small_cfg()
+    model = SRFlowNet(cfg)
+    params = model.init(KEY)
+
+    # legacy-style state: per-leaf (unflattened) adam moments
+    legacy_opt = optax.adam(1e-4)
+    legacy_state = legacy_opt.init(params)
+    ckpt = CheckpointManager(str(tmp_path))
+    ckpt.save(7, {"params": params, "opt_state": legacy_state})
+
+    tcfg = SRTrainConfig(niter=100, batch_size=2)
+    opt, _ = make_srflow_optimizer(tcfg, params)
+    new_state = opt.init(params)
+
+    # current-format restore must fail (structures differ) ...
+    with pytest.raises((KeyError, ValueError)):
+        ckpt.restore({"params": params, "opt_state": new_state})
+    # ... and the params-only fallback the loop uses must succeed
+    restored = ckpt.restore({"params": params})["params"]
+    np.testing.assert_allclose(
+        np.asarray(restored["rrdb"]["conv_first"]["w"]),
+        np.asarray(params["rrdb"]["conv_first"]["w"]))
