@@ -60,6 +60,8 @@ def main():
                                      os.environ["BENCH_REMAT_LEVELS"].split(","))
                                      if os.environ.get("BENCH_REMAT_LEVELS")
                                      else None),
+                       remat_save_names=os.environ.get("BENCH_SAVE_NAMES",
+                                                       "remat_ckpt,wcast"),
                        prior=os.environ.get("BENCH_PRIOR", "convlstm"),
                        num_blocks=int(os.environ.get("BENCH_NN_BLOCKS", 10)),
                        use_attention=os.environ.get("BENCH_ATTN", "1") == "1",
@@ -68,7 +70,11 @@ def main():
     rng = jax.random.PRNGKey(0)
     params = to_default_device(init_on_cpu(model.init, rng))
 
+    # flat-buffer update (one big kernel instead of ~2k per-leaf ones);
+    # BENCH_FLAT_OPT=0 restores the per-leaf path for the ablation
     opt = optax.adamax(1e-4)
+    if os.environ.get("BENCH_FLAT_OPT", "1") == "1":
+        opt = optax.flatten(opt)
     opt_state = to_default_device(init_on_cpu(opt.init, params))
     step = make_train_step(bits_per_dim_loss(model), opt, mesh=None,
                            donate=True)

@@ -69,10 +69,12 @@ class MarScfConfig:
     # activation memory, so e.g. (0,) rematerializes only it and keeps the
     # cheap levels' activations resident.
     remat_levels: Optional[Tuple[int, ...]] = None
-    # remat granularity: "" = recompute everything; "remat_ckpt" = keep the
-    # named activations (coupling-block outputs) and recompute only within a
-    # block on the backward pass.
-    remat_save_names: str = "remat_ckpt"
+    # remat granularity: "" = recompute everything; names are comma-
+    # separated. "remat_ckpt" keeps the named activations (coupling-block
+    # outputs) so the backward recomputes only within a block; "wcast" keeps
+    # the tiny normalized/cast effective weights (they otherwise re-emit
+    # ~1.5k sub-[192] kernels per backward, docs/BENCHMARKS.md r3 anatomy).
+    remat_save_names: str = "remat_ckpt,wcast"
     # "body": jax.checkpoint around the whole K-step scan body with the
     # named-save policy above. "blocks": per-ConvAttnBlock jax.checkpoint
     # instead — same recompute granularity, but block boundaries are saved
@@ -252,7 +254,7 @@ class MarScfFlow:
             policy = None
             if self.cfg.remat_save_names:
                 policy = jax.checkpoint_policies.save_only_these_names(
-                    self.cfg.remat_save_names)
+                    *self.cfg.remat_save_names.split(","))
             body = jax.checkpoint(body, policy=policy)
         (z, logdet), _ = jax.lax.scan(body, (z, logdet), xs, reverse=inverse)
         return z, logdet

@@ -129,10 +129,16 @@ class WNConv2d:
         return p
 
     def apply(self, params, x, *, layout: str = "NCHW"):
+        from jax.ad_checkpoint import checkpoint_name
+
         v = params["v"].astype(jnp.float32)  # weight norm in fp32 under bf16
         norm = jnp.sqrt(jnp.sum(v.reshape(v.shape[0], -1) ** 2, axis=-1))
         g = params["g"].astype(jnp.float32)
         w = (v * (g / norm).reshape(-1, 1, 1, 1)).astype(x.dtype)
+        # "wcast" is in the remat save policy: the normalized+cast weight is
+        # tiny but otherwise recomputed per use in every rematted backward
+        # (~1.5k sub-[192] kernels/step in the r3 anatomy, docs/BENCHMARKS.md)
+        w = checkpoint_name(w, "wcast")
         return conv2d(x, w, params.get("b"), layout=layout)
 
 
@@ -158,11 +164,14 @@ class WNDense:
 
     def effective_weight(self, params, dtype=None):
         """The weight-normalized (out, in) matrix; differentiable in v, g."""
+        from jax.ad_checkpoint import checkpoint_name
+
         v = params["v"].astype(jnp.float32)
         norm = jnp.sqrt(jnp.sum(v**2, axis=-1))
         g = params["g"].astype(jnp.float32)
         w = v * (g / norm)[:, None]
-        return w.astype(dtype) if dtype is not None else w
+        w = w.astype(dtype) if dtype is not None else w
+        return checkpoint_name(w, "wcast")  # saved, not recomputed, in remat
 
     def apply(self, params, x):
         w = self.effective_weight(params, x.dtype)

@@ -224,7 +224,11 @@ class MixLogCDFNet:
         b, c, h, w = x.shape
         rngs = jax.random.split(rng, len(self.blocks)) if rng is not None else [None] * len(self.blocks)
         if self.compute_dtype is not None:
-            cast = lambda t: (t.astype(self.compute_dtype)
+            from jax.ad_checkpoint import checkpoint_name
+            # tagged "wcast": saved by the remat policy so the backward pass
+            # doesn't redo ~40 tiny casts per coupling net
+            cast = lambda t: (checkpoint_name(t.astype(self.compute_dtype),
+                                              "wcast")
                               if jnp.issubdtype(t.dtype, jnp.floating) else t)
             net_params = jax.tree.map(cast, {k: params[k] for k in
                                              ("in_conv", "blocks", "out_conv")})

@@ -381,8 +381,8 @@ def pallas_cholesky_hbm(a: jax.Array, *, panel_width: int | None = None,
     l = pl.pallas_call(
         partial(_hbm_chol_kernel, n=n, P=P),
         out_shape=jax.ShapeDtypeStruct(a.shape, a.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((n, P), a.dtype),       # panel
             pltpu.VMEM((2, n, P), a.dtype),    # streamed k columns (2 slots)

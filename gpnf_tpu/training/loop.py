@@ -101,8 +101,13 @@ def train(model_cfg: MarScfConfig, train_cfg: TrainConfig, *, log_fn=print):
     # update instead of poisoning the params.
     sched = optax.linear_schedule(0.0, train_cfg.lr,
                                   max(train_cfg.warm_up // train_cfg.batch_size, 1))
-    opt = optax.apply_if_finite(optax.adamax(learning_rate=sched),
-                                max_consecutive_errors=100)
+    # optax.flatten ravels params/grads into ONE vector for the update: the
+    # per-leaf Adamax otherwise emits ~2k tiny (<=[192]) kernels per step
+    # (~6 us launch floor each ~ 15-20 ms/step on TPU; xprof attribution in
+    # docs/BENCHMARKS.md). Checkpointed opt state is the flat vectors.
+    opt = optax.flatten(
+        optax.apply_if_finite(optax.adamax(learning_rate=sched),
+                              max_consecutive_errors=100))
     opt_state = jax.jit(opt.init)(params)  # one call, not one op per leaf
 
     step_fn = make_train_step(bits_per_dim_loss(model), opt, mesh,

@@ -61,11 +61,14 @@ def make_srflow_optimizer(cfg: SRTrainConfig, params):
                 "flow": jax.tree.map(lambda _: "flow", p["flow"])}
 
     def group(base_lr):
-        return optax.chain(
+        # optax.flatten: per-group update runs on ONE raveled vector instead
+        # of one tiny kernel per leaf (the 3.4k-op/step SRFlow anatomy in
+        # docs/BENCHMARKS.md; same change as the mAR-SCF loop)
+        return optax.flatten(optax.chain(
             optax.add_decayed_weights(cfg.weight_decay) if cfg.weight_decay
             else optax.identity(),
             optax.adam(learning_rate=_lr_schedule(cfg, base_lr), b1=0.9, b2=0.99),
-        )
+        ))
 
     opt = optax.multi_transform(
         {"rrdb": group(cfg.lr_RRDB), "flow": group(cfg.lr_G)}, label_fn)
