@@ -137,6 +137,11 @@ class GatedAttn:
                 if rng is not None else jnp.zeros((1,), jnp.int32))
         attn = fused_attention_proj(seed, seq, w_in, self.num_heads, rate,
                                     train).astype(x.dtype)
+        # "attn_out" is OFF the default remat save policy (B*S*C bf16 per
+        # block adds up); add it via remat_save_names / BENCH_SAVE_NAMES to
+        # trade HBM for skipping the attention-forward recompute in backward
+        from jax.ad_checkpoint import checkpoint_name
+        attn = checkpoint_name(attn, "attn_out")
         attn = attn.reshape(b, h, w, c)
 
         gated = self.gate.apply(params["gate"], attn)
