@@ -141,7 +141,9 @@ class Cell:
     def flops(self, size, alpha, ratio):
         total = 0.0
         for i, op in enumerate(self.ops):
-            if i == 0:
+            if self.n == 1:
+                pair = (1.0, 1.0)
+            elif i == 0:
                 pair = (1.0, ratio[i])
             elif i == self.n - 1:
                 pair = (ratio[i - 1], 1.0)
@@ -241,7 +243,9 @@ class NASVideoSR:
     # ------------------------------------------------------------- params
     def init(self, key):
         cfg, nf = self.cfg, self.cfg.nf
-        ks = iter(jax.random.split(key, 32))
+        n_keys = 2 * cfg.num_cell + cfg.num_cell_attn + 11 \
+            + (2 if cfg.align == "pcd" else 0)
+        ks = iter(jax.random.split(key, n_keys))
         p = {
             "conv_first": self.conv_first.init(next(ks)),
             "cells_pre": [c.init(next(ks)) for c in self.cells_pre],
@@ -324,8 +328,12 @@ class NASVideoSR:
         a_lvl = jax.nn.softmax(arch["alpha_att_levels"], -1)
         a_sink = jax.nn.softmax(arch["alpha_sink"], -1)
         a_act = jax.nn.softmax(arch["alpha_activations"], -1)
-        k_r, _ = jax.random.split(rng)
+        # Fresh width draws per stage: the reference resamples prun_ratio
+        # between the attention and recon stages (model_search.py:585-589),
+        # so pre/recon widths are decorrelated.
+        k_r, k_r2 = jax.random.split(rng)
         ratio = self.sample_ratio(arch, k_r, prun_mode)
+        ratio_recon = self.sample_ratio(arch, k_r2, prun_mode)
 
         out = orig = self.conv_first.apply(params["conv_first"],
                                            x.reshape(b * n, c, h, w))
@@ -361,7 +369,7 @@ class NASVideoSR:
                            out.reshape(b, -1, h, w))
         for i, cell in enumerate(self.cells_recon):
             out = cell.apply(params["cells_recon"][i], out, alpha[i],
-                             beta[i], ratio[i])
+                             beta[i], ratio_recon[i])
         out = out + orig
 
         center = x[:, cfg.center]
@@ -407,6 +415,35 @@ class NASVideoSR:
     def style_loss(self, y_hat, x):
         sw = self.cfg.loss_weight[1]
         return sw * jnp.mean((self.gram(y_hat) - self.gram(x)) ** 2)
+
+    def flops_table(self, size_hw):
+        """Static per-primitive full-width FLOPs at (nf, h, w), from XLA cost
+        analysis (host-side; compute once, outside jit). All cell ops are
+        stride-1 nf->nf so one table covers every (cell, op) slot."""
+        import numpy as np
+        h, w = size_hw
+        size = (self.cfg.nf, h, w)
+        return np.asarray([xla_op_flops(p, size, 1) for p in PRIMITIVES])
+
+    def arch_flops_expected(self, arch, flops_table):
+        """Differentiable E[FLOPs] of the conv cells under softmax(alpha) and
+        E[width] = softmax(ratio)@widths — the arch-step penalty term
+        (TPU-native replacement for the reference's thop/.npy table path,
+        model_search.py:719-779). `flops_table` is the (n_ops,) array from
+        `self.flops_table` (precomputed host-side; jnp-traceable here)."""
+        cfg = self.cfg
+        table = jnp.asarray(flops_table)
+        alpha = jax.nn.softmax(arch["alpha"], -1)  # (cells, ops, n_ops)
+        if cfg.op_per_cell > 1:
+            widths = jnp.asarray(NASConfig.width_mults)
+            er = jax.nn.softmax(arch["ratio"], -1) @ widths
+            ones = jnp.ones((cfg.num_cell, 1))
+            r_in = jnp.concatenate([ones, er], axis=1)
+            r_out = jnp.concatenate([er, ones], axis=1)
+        else:
+            r_in = r_out = jnp.ones((cfg.num_cell, cfg.op_per_cell))
+        per_op = (alpha @ table) * r_in * r_out
+        return 2.0 * jnp.sum(per_op)  # pre + recon stages share alpha
 
     def arch_flops(self, arch, size_hw) -> float:
         """Host-side expected supernet FLOPs for the penalty term: conv cells

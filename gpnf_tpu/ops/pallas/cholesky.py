@@ -517,13 +517,12 @@ def cholesky_blocked(a: jax.Array, *, use_pallas: bool | None = None) -> jax.Arr
 
     use_pallas: True forces a fused Pallas kernel (the VMEM-resident one for
     n < 2048, the HBM-streaming `pallas_cholesky_hbm` / host-level
-    recursion at n >= 2048); None = auto picks the fastest measured option
-    per backend — on TPU, XLA's NATIVE cholesky through n = 4096 (the
-    sequential pivot chain keeps the Pallas kernels 4-14% behind there,
-    within-session A/B in docs/BENCHMARKS.md) and the Pallas HBM recursion
-    for n > 4096 when called eagerly (the host-level dispatch cannot run
-    under an outer jit — remote-compile payload limit, so a TRACED call at
-    that size falls back to XLA native); the blocked jnp algorithm on CPU.
+    recursion at n >= 2048, eager-only above 4096 — remote-compile payload
+    limit); None = auto picks the fastest measured option per backend — on
+    TPU, the Pallas HBM kernel only at 2048 <= n < 3072 (19% over XLA
+    native at n=2048, readback-protocol A/B in docs/BENCHMARKS.md) and
+    XLA's NATIVE cholesky everywhere else (its column expander wins by
+    ~1.3-1.4x at n >= 4096); the blocked jnp algorithm on CPU.
     Every path carries the two-triangular-solve custom VJP, so `gp.fit`
     differentiates through the factorization with O(n^3) solves instead of
     unrolled-loop autodiff.

@@ -50,6 +50,11 @@ def _unflatten_into(template, flat, prefix=""):
     return value
 
 
+@jax.jit
+def _copy_leaves(xs):
+    return [jax.numpy.copy(x) for x in xs]
+
+
 class CheckpointManager:
     """npz-based checkpoints (dependency-light, works on any backend).
 
@@ -128,9 +133,15 @@ class CheckpointManager:
         first (bounds memory; saves are rare).
         """
         self.wait_async()
-        snap = jax.tree.map(
-            lambda x: jax.numpy.copy(x) if hasattr(x, "devices") else x,
-            state)
+        # Single jitted dispatch for the snapshot: per-leaf eager copies cost
+        # ~seconds each over the axon tunnel (one executable launch instead
+        # of ~1k). Non-array leaves pass through unchanged.
+        leaves, treedef = jax.tree.flatten(state)
+        is_arr = [hasattr(x, "devices") for x in leaves]
+        copied = iter(_copy_leaves([x for x, a in zip(leaves, is_arr) if a]))
+        snap = jax.tree.unflatten(
+            treedef, [next(copied) if a else x
+                      for x, a in zip(leaves, is_arr)])
 
         def worker():
             try:

@@ -142,6 +142,7 @@ def train(model_cfg: MarScfConfig, train_cfg: TrainConfig, *, log_fn=print):
     data_timer = Timer()
     t_train_start = time.time()
     stop = False
+    last_eval_step = -1  # dedupe the cadence eval vs the final/epoch eval
     log_every = 50
     window_t0, window_steps = time.time(), 0
 
@@ -187,14 +188,16 @@ def train(model_cfg: MarScfConfig, train_cfg: TrainConfig, *, log_fn=print):
             if (train_cfg.eval_every_steps
                     and global_step % train_cfg.eval_every_steps == 0):
                 run_eval(epoch)
+                last_eval_step = global_step
             if train_cfg.max_steps and global_step >= train_cfg.max_steps:
                 stop = True
                 break
             data_timer.tick()
         epoch_eval = (train_cfg.eval_every_steps is None
                       and epoch % train_cfg.test_epoch_interval == 0)
-        if epoch_eval or stop:
+        if (epoch_eval or stop) and last_eval_step != global_step:
             run_eval(epoch)
+            last_eval_step = global_step
         if stop:
             break
 

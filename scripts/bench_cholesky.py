@@ -91,8 +91,12 @@ def main():
                 4096: 40}.get(n, 12)
         for name, fn in impls.items():
             try:
-                dt, l = timeit(fn, spd, reps)
+                dt, _ = timeit(fn, spd, reps)
                 gflops = (n**3 / 3) / dt / 1e9
+                # accuracy check on the UNPERTURBED input (the timing chain's
+                # last output is a factor of spd + perturbation, whose
+                # residual would mask real kernel error)
+                l = fn(spd)
                 err = float(jnp.max(jnp.abs(l @ l.T - spd))) / n
                 print(json.dumps({"metric": f"cholesky_{name}_n{n}",
                                   "value": round(gflops, 2),

@@ -119,3 +119,29 @@ def test_training_reduces_nll():
         params, opt_state, loss = step(params, opt_state, sub)
         losses.append(float(loss))
     assert losses[-1] < losses[0] - 0.05, losses[::10]
+
+
+def test_train_loop_no_double_eval_at_final_step(tmp_path, monkeypatch):
+    """When max_steps is a multiple of eval_every_steps, the cadence eval and
+    the loop-exit eval must not both fire at the same step (regression:
+    duplicate full test-set pass + duplicate checkpoint at exit)."""
+    from gpnf_tpu.training import loop as loop_mod
+
+    eval_steps = []
+    real_evaluate = loop_mod.evaluate
+
+    def counting_evaluate(*a, **k):
+        eval_steps.append(1)
+        return real_evaluate(*a, **k)
+
+    monkeypatch.setattr(loop_mod, "evaluate", counting_evaluate)
+
+    mcfg = MarScfConfig(K=1, L=1, hidden_channels=8, coupling="affine",
+                        use_attention=False, prior="gaussian")
+    tcfg = loop_mod.TrainConfig(
+        dataset="synthetic", batch_size=16, epochs=100,
+        eval_every_steps=4, max_steps=8, warm_up=16,
+        checkpoint_dir=str(tmp_path), use_mesh=False,
+        async_checkpoint=False)
+    loop_mod.train(mcfg, tcfg, log_fn=lambda *_: None)
+    assert len(eval_steps) == 2, f"expected evals at steps 4 and 8 only, got {len(eval_steps)}"

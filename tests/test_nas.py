@@ -161,6 +161,71 @@ def test_arch_flops_monotone_in_ratio_logits():
     assert f_max > f_min > 0
 
 
+def test_arch_flops_expected_differentiable_and_consistent():
+    """The jittable E[FLOPs] penalty must carry nonzero gradients into both
+    alpha and ratio, and agree with the host-side arch_flops at one-hot
+    arch params (where E[width] == argmax width)."""
+    model = NASVideoSR(TINY)
+    arch = model.init_arch()
+    tab = model.flops_table((8, 8))
+
+    g = jax.grad(lambda a: model.arch_flops_expected(a, tab))(arch)
+    assert jnp.any(g["alpha"] != 0) and jnp.any(g["ratio"] != 0)
+
+    n_w = len(NASConfig.width_mults)
+    hot = dict(arch,
+               alpha=10.0 * jax.nn.one_hot(
+                   jnp.zeros(arch["alpha"].shape[:-1], jnp.int32),
+                   arch["alpha"].shape[-1]) * 100,
+               ratio=100.0 * jax.nn.one_hot(
+                   jnp.full(arch["ratio"].shape[:-1], n_w - 1, jnp.int32),
+                   n_w))
+    want = model.arch_flops(hot, (8, 8))
+    got = float(model.arch_flops_expected(hot, tab))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_cell_flops_op_per_cell_one():
+    """op_per_cell=1: apply uses the (1.0, 1.0) pair and flops must too
+    (regression: ratio[0] on an empty per-cell ratio list)."""
+    cell = Cell(8, op_per_cell=1)
+    n = len(PRIMITIVES)
+    fl, size = cell.flops((8, 8, 8), jnp.full((1, n), 1.0 / n), [])
+    assert fl > 0 and size == (8, 8, 8)
+
+
+def test_supernet_init_scales_with_num_cell():
+    """init's key split is sized from the config (regression: fixed 32-way
+    split raised StopIteration at num_cell >= 11)."""
+    cfg = NASConfig(nf=4, num_frames=3, center=1, num_cell=12, op_per_cell=1,
+                    num_cell_attn=1, op_per_cell_attn=1)
+    model = NASVideoSR(cfg)
+    p = model.init(jax.random.PRNGKey(0))
+    assert len(p["cells_pre"]) == 12 and len(p["cells_recon"]) == 12
+
+
+def test_supernet_decorrelated_stage_widths():
+    """pre and recon stages draw independent width samples (the reference
+    resamples prun_ratio between stages, model_search.py:585-589)."""
+    model = NASVideoSR(TINY)
+    arch = model.init_arch()
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    r_pre = model.sample_ratio(arch, k1, "arch_ratio")
+    r_rec = model.sample_ratio(arch, k2, "arch_ratio")
+    flat = lambda r: np.asarray([np.argmax(np.asarray(x))
+                                 for row in r for x in row])
+    # with 2 cells x 1 boundary x 3 widths, identical draws from different
+    # keys are possible but full-tree equality across many keys is not
+    diffs = 0
+    for seed in range(8):
+        ka, kb = jax.random.split(jax.random.PRNGKey(seed))
+        if not np.array_equal(flat(model.sample_ratio(arch, ka)),
+                              flat(model.sample_ratio(arch, kb))):
+            diffs += 1
+    assert diffs > 0
+    del r_pre, r_rec
+
+
 def test_search_smoke_deterministic_genotype():
     """A short alternating search run twice with the same seed must produce
     identical genotypes and a decreasing weight loss."""

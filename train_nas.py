@@ -59,6 +59,11 @@ def main():
     opt_a = optax.adam(args.lr_arch)
     st_w, st_a = opt_w.init(params), opt_a.init(arch)
 
+    # Static per-primitive FLOPs table (XLA cost analysis, host-side once);
+    # the arch step adds flops_weight * E[FLOPs](arch) so the search trades
+    # accuracy against expected cost (model_search.py:719-779 equivalent).
+    flops_tab = model.flops_table((args.hw, args.hw))
+
     def criterion(p, a, clips, hr, rng):
         sr = model.apply(p, a, clips, rng)
         return model.criterion_image(sr, hr, feature_fn=feat)
@@ -69,10 +74,14 @@ def main():
         upd, st = opt_w.update(g, st, p)
         return optax.apply_updates(p, upd), st, loss
 
+    def criterion_arch(a, p, clips, hr, rng):
+        loss = criterion(p, a, clips, hr, rng)
+        return loss + args.flops_weight * model.arch_flops_expected(
+            a, flops_tab)
+
     @jax.jit
     def a_step(p, a, st, clips, hr, rng):
-        loss, g = jax.value_and_grad(criterion, argnums=1)(p, a, clips, hr,
-                                                           rng)
+        loss, g = jax.value_and_grad(criterion_arch)(a, p, clips, hr, rng)
         upd, st = opt_a.update(g, st, a)
         return optax.apply_updates(a, upd), st, loss
 
