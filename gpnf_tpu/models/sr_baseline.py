@@ -63,3 +63,56 @@ class SRBaseline:
             return optax.apply_updates(params, updates), opt_state, loss
 
         return opt, step
+
+
+def train_sr_baseline(rrdb_cfg: RRDBConfig, cfg: SRBaselineTrainConfig,
+                      train_set, val_set=None, *, batch_size: int = 16,
+                      max_steps=None, checkpoint_dir: str =
+                      "./experiments/sr/models", val_freq: int = 5000,
+                      seed: int = 0, log_fn=print):
+    """Plain-SR training loop (models/SR_model.py:32-217 / train.py driven by
+    `model: SR` in the YAML): pixel loss on RRDBNet output, periodic val
+    PSNR, best-PSNR checkpointing. Shares the LRHR dataset batching with the
+    SRFlow loop."""
+    from ..training.checkpoints import CheckpointManager
+    from ..utils.jax_setup import init_on_cpu
+    from ..utils.metrics import psnr
+    import numpy as np
+
+    model = SRBaseline(rrdb_cfg)
+    params = init_on_cpu(model.init, jax.random.PRNGKey(seed))
+    opt, step_fn = model.make_train_step(cfg)
+    opt_state = jax.jit(opt.init)(params)
+    ckpt = CheckpointManager(checkpoint_dir)
+
+    fwd = jax.jit(model.forward)
+
+    def val_psnr(p):
+        vals = []
+        for lr_img, hr_img in val_set.batches(4, shuffle=False,
+                                              drop_last=False):
+            sr = np.asarray(fwd(p, jnp.asarray(lr_img)))
+            for j in range(len(sr)):
+                vals.append(psnr(
+                    np.clip(sr[j].transpose(1, 2, 0), 0, 1) * 255,
+                    np.asarray(hr_img[j]).transpose(1, 2, 0) * 255))
+        return float(np.mean(vals)) if vals else float("nan")
+
+    it, total = 0, (max_steps or cfg.niter)
+    while it < total:
+        for lr_img, hr_img in train_set.batches(batch_size):
+            params, opt_state, loss = step_fn(params, opt_state,
+                                              jnp.asarray(lr_img),
+                                              jnp.asarray(hr_img))
+            it += 1
+            if it % 100 == 0:
+                log_fn(f"iter {it} pix_loss {float(loss):.5f}")
+            if val_set is not None and it % val_freq == 0:
+                v = val_psnr(params)
+                log_fn(f"iter {it} val PSNR {v:.2f}")
+                ckpt.save(it, {"params": params, "opt_state": opt_state},
+                          metric=-v)
+            if it >= total:
+                break
+    ckpt.save(it, {"params": params, "opt_state": opt_state})
+    return model, params

@@ -100,9 +100,34 @@ def main():
     train_set, val_set = load_datasets(opt, model_cfg)
 
     ckpt_dir = opt["path"]["models"] or "./experiments/srflow/models"
+    val_freq = int((opt.get("train") or {}).get("val_freq", 5000))
+    # `model:` dispatch, like the reference's create_model on opt['model']
+    # (models/__init__.py:39-52): 'SRFlow' -> flow trainer, 'SR' -> the
+    # plain pixel-loss RRDB baseline (models/SR_model.py).
+    model_kind = str(opt.get("model", "SRFlow")).lower()
+    if model_kind == "sr":
+        from gpnf_tpu.models.rrdb import RRDBConfig
+        from gpnf_tpu.models.sr_baseline import (SRBaselineTrainConfig,
+                                                 train_sr_baseline)
+        from gpnf_tpu.utils.options import opt_get
+        train = opt.get("train") or {}
+        rrdb_cfg = RRDBConfig(nf=model_cfg.rrdb_nf, nb=model_cfg.rrdb_nb,
+                              scale=model_cfg.scale)
+        sr_cfg = SRBaselineTrainConfig(
+            pixel_criterion=str(train.get("pixel_criterion", "l1")),
+            pixel_weight=float(train.get("pixel_weight", 1.0)),
+            lr=float(train.get("lr_G", 2e-4)),
+            lr_steps=tuple(train.get("lr_steps") or (200000, 400000)),
+            lr_gamma=float(train.get("lr_gamma", 0.5)),
+            niter=int(train.get("niter", 600000)))
+        train_sr_baseline(rrdb_cfg, sr_cfg, train_set, val_set,
+                          batch_size=train_cfg.batch_size,
+                          max_steps=args.max_steps, checkpoint_dir=ckpt_dir,
+                          val_freq=val_freq, seed=train_cfg.seed)
+        return
     train_srflow(model_cfg, train_cfg, train_set, val_set,
                  max_steps=args.max_steps, checkpoint_dir=ckpt_dir,
-                 val_freq=int((opt.get("train") or {}).get("val_freq", 5000)))
+                 val_freq=val_freq)
 
 
 if __name__ == "__main__":
