@@ -416,6 +416,13 @@ class NASVideoSR:
         sw = self.cfg.loss_weight[1]
         return sw * jnp.mean((self.gram(y_hat) - self.gram(x)) ** 2)
 
+    def derive(self, geno: dict) -> "DerivedVideoSR":
+        """Discretize: build the single-op network the genotype selects
+        (AGD retrain-stage network; `operations_infer.py` surface). Use
+        `derive_params(supernet_params, geno)` to keep the searched
+        weights."""
+        return DerivedVideoSR(self.cfg, geno)
+
     def flops_table(self, size_hw):
         """Static per-primitive full-width FLOPs at (nf, h, w), from XLA cost
         analysis (host-side; compute once, outside jit). All cell ops are
@@ -463,6 +470,193 @@ class NASVideoSR:
                 f, _ = cell.flops(size, alpha[ci], r)
                 total += f
         return total
+
+
+class DerivedVideoSR:
+    """Discretized supernet (the reference's `operations_infer.py` surface:
+    the post-search network with one chosen primitive per slot at a fixed
+    width/quantize choice, same macro-architecture). Construct with
+    `NASVideoSR.derive(genotype)`; weights can be transplanted from the
+    supernet with `derive_params` (AGD retains supernet weights for the
+    retrain stage)."""
+
+    def __init__(self, cfg: NASConfig, geno: dict):
+        self.cfg, self.geno = cfg, geno
+        nf = cfg.nf
+        self.conv_first = USConv2d(3, nf, 3, bias=True)
+        self.align = (AlignFea(nf, 8) if cfg.align == "dkc"
+                      else PCDAlign(nf, 8))
+        # one concrete op per (cell, slot), shared across pre/recon (the
+        # supernet shares alpha between the two stages)
+        self.cell_ops = [[OPS[name](nf, nf, 1) for name in row]
+                         for row in geno["cells"]]
+        self.attn_l1 = [[ATTN_OPS[p](nf, cfg.num_frames)
+                         for p in PRIMITIVES_ATTN]
+                        for _ in range(cfg.num_cell_attn)]
+        self.attn_l2 = [[ATTN_OPS[p](nf, cfg.num_frames)
+                         for p in PRIMITIVES_ATTN]
+                        for _ in range(cfg.num_cell_attn)]
+
+    def init(self, key):
+        """Fresh init (retrain-from-scratch); same param tree shape as the
+        transplanted one apart from cells_* holding single-op params."""
+        cfg, nf = self.cfg, self.cfg.nf
+        n_attn = len(PRIMITIVES_ATTN)
+        n_keys = 2 * cfg.num_cell \
+            + 2 * cfg.num_cell_attn * cfg.op_per_cell_attn + 11 \
+            + (2 if cfg.align == "pcd" else 0)
+        ks = iter(jax.random.split(key, n_keys))
+        p = {
+            "conv_first": self.conv_first.init(next(ks)),
+            "cells_pre": [[op.init(k) for op, k in
+                           zip(row, jax.random.split(next(ks), len(row)))]
+                          for row in self.cell_ops],
+            "align": self.align.init(next(ks)),
+            "cells_attn": [
+                [{"l1": [op.init(k) for op, k in
+                         zip(self.attn_l1[i],
+                             jax.random.split(next(ks), n_attn))],
+                  "l2": [op.init(k) for op, k in
+                         zip(self.attn_l2[i],
+                             jax.random.split(next(ks), n_attn))]}
+                 for _ in range(cfg.op_per_cell_attn)]
+                for i in range(cfg.num_cell_attn)],
+            "conv_attn_final": _conv_init(next(ks), nf, nf * cfg.num_frames,
+                                          3),
+            "cells_recon": [[op.init(k) for op, k in
+                             zip(row, jax.random.split(next(ks), len(row)))]
+                            for row in self.cell_ops],
+            "conv11": _conv_init(next(ks), nf // 2, nf, 3),
+            "conv112": _conv_init(next(ks), 3 * 4, nf // 2, 3),
+            "conv12": _conv_init(next(ks), 3, 3, 3),
+            "conv122": _conv_init(next(ks), 3 * 4, 3, 3),
+            "conv13": _conv_init(next(ks), 3, 3, 3),
+            "conv132": _conv_init(next(ks), 3 * 4, 3, 3),
+            "conv14": _conv_init(next(ks), 3, 3, 3),
+            "conv142": _conv_init(next(ks), 3 * 4, 3, 3),
+        }
+        if cfg.align == "pcd":
+            p["fea_l2_conv1"] = _conv_init(next(ks), nf, nf, 3)
+            p["fea_l2_conv2"] = _conv_init(next(ks), nf, nf, 3)
+        return p
+
+    def _cell_pairs(self, ci):
+        n = self.cfg.op_per_cell
+        ws = self.geno["widths"][ci] if n > 1 else []
+        pairs = []
+        for i in range(n):
+            if n == 1:
+                pairs.append((1.0, 1.0))
+            elif i == 0:
+                pairs.append((1.0, ws[0]))
+            elif i == n - 1:
+                pairs.append((ws[i - 1], 1.0))
+            else:
+                pairs.append((ws[i - 1], ws[i]))
+        return pairs
+
+    def _run_cells(self, cell_params, x):
+        out = x
+        for ci, row in enumerate(self.cell_ops):
+            pairs = self._cell_pairs(ci)
+            h = out
+            for oi, op in enumerate(row):
+                q = bool(self.geno["quantized"][ci][oi])
+                h = op.apply(cell_params[ci][oi], h, pairs[oi], quantize=q)
+            out = h * 0.2 + out
+        return out
+
+    def _run_attn(self, params, x):
+        n = len(PRIMITIVES_ATTN)
+        out = x
+        for i in range(self.cfg.num_cell_attn):
+            h = out
+            for oi in range(self.cfg.op_per_cell_attn):
+                levels = self.geno["attn_levels"][i][oi]
+                sink = int(self.geno["attn_sink"][i][oi])
+                acts = self.geno["attn_acts"][i][oi]
+                hot = lambda a: jax.nn.one_hot(a, 3)
+                pa = params[i][oi]
+                if sink < n:  # level-2 op fed by its chosen level-1 op
+                    j = int(levels[sink])
+                    mid = self.attn_l1[i][j].apply(
+                        pa["l1"][j], h, hot(acts[j]))
+                    y = self.attn_l2[i][sink].apply(
+                        pa["l2"][sink], mid, hot(acts[n + sink]))
+                else:  # direct level-1 sink
+                    k = sink - n
+                    y = self.attn_l1[i][k].apply(
+                        pa["l1"][k], h, hot(acts[k]))
+                h = y
+            out = h * 0.2 + out
+        return out
+
+    def apply(self, params, x):
+        cfg = self.cfg
+        b, nfr, c, h, w = x.shape
+        assert nfr == cfg.num_frames
+        orig = self.conv_first.apply(params["conv_first"],
+                                     x.reshape(b * nfr, c, h, w))
+        out = self._run_cells(params["cells_pre"], orig)
+        out = out + orig
+
+        l1 = out.reshape(b, nfr, -1, h, w)
+        if cfg.align == "pcd":
+            l2 = lrelu(_conv(params["fea_l2_conv2"], lrelu(
+                _convnd(out, params["fea_l2_conv1"]["w"],
+                        params["fea_l2_conv1"]["b"], ndim=2, stride=2))))
+            l2 = l2.reshape(b, nfr, -1, h // 2, w // 2)
+            ref = [l1[:, cfg.center], l2[:, cfg.center]]
+            aligned = jax.vmap(
+                lambda f1, f2: self.align.apply(params["align"], [f1, f2],
+                                                ref),
+                in_axes=1, out_axes=1)(l1, l2)
+        else:
+            ref = l1[:, cfg.center]
+            aligned = jax.vmap(
+                lambda f: self.align.apply(params["align"], f, ref),
+                in_axes=1, out_axes=1)(l1)
+
+        out = orig = aligned
+        out = self._run_attn(params["cells_attn"], out)
+        out = out + orig
+
+        orig = _conv(params["conv_attn_final"], out.reshape(b, -1, h, w))
+        out = self._run_cells(params["cells_recon"], orig)
+        out = out + orig
+
+        center = x[:, cfg.center]
+        y = lrelu(_conv(params["conv11"], out))
+        y = lrelu(_conv(params["conv112"], y))
+        y = pixel_shuffle(y, 2) + bicubic_resize(center, 2)
+        y = lrelu(_conv(params["conv12"], y))
+        y = lrelu(_conv(params["conv122"], y))
+        y = pixel_shuffle(y, 2) + bicubic_resize(center, 4)
+        y = lrelu(_conv(params["conv13"], y))
+        y = lrelu(_conv(params["conv132"], y))
+        y = pixel_shuffle(y, 2) + bicubic_resize(center, 8)
+        y = lrelu(_conv(params["conv14"], y))
+        y = _conv(params["conv142"], y)
+        y = pixel_shuffle(y, 2) + bicubic_resize(center, 16)
+        if cfg.tanh_out:
+            y = (jnp.tanh(y) + 1.0) / 2.0
+        return y
+
+
+def derive_params(supernet_params, geno):
+    """Transplant supernet weights into the DerivedVideoSR param tree:
+    each mixed slot keeps only the chosen primitive's params (AGD retains
+    supernet weights for retraining). Attention cell params pass through
+    whole (the derived net indexes the same l1/l2 lists)."""
+    idx = {name: i for i, name in enumerate(PRIMITIVES)}
+    out = dict(supernet_params)
+    for stage in ("cells_pre", "cells_recon"):
+        out[stage] = [
+            [slot_params[idx[name]]
+             for slot_params, name in zip(cell_params, row)]
+            for cell_params, row in zip(supernet_params[stage],
+                                        geno["cells"])]
+    return out
 
 
 def genotype(arch):

@@ -274,3 +274,55 @@ def test_search_smoke_deterministic_genotype():
     assert g1 == g2, "search not deterministic under fixed seed"
     assert l1 == l2
     assert l1[-1] < l1[0], l1
+
+
+def test_derived_network_matches_saturated_supernet():
+    """derive() + derive_params(): the discretized single-op network must
+    reproduce the supernet's forward when the supernet's arch params are
+    saturated one-hots at the genotype (widths forced to 1.0) — the AGD
+    retrain-stage network (`operations_infer.py` surface)."""
+    from gpnf_tpu.models.nas import derive_params
+
+    model = NASVideoSR(TINY)
+    params = model.init(jax.random.PRNGKey(0))
+    arch = model.init_arch()
+
+    # saturate every arch tensor at its (argmax-of-init == index 0) choice,
+    # except pick distinct ops per slot to exercise the transplant indexing
+    n_ops, n_attn = len(PRIMITIVES), len(PRIMITIVES_ATTN)
+    n_w = len(NASConfig.width_mults)
+    sel_ops = jnp.arange(TINY.num_cell * TINY.op_per_cell).reshape(
+        TINY.num_cell, TINY.op_per_cell) % n_ops
+    arch = {
+        "alpha": 50.0 * jax.nn.one_hot(sel_ops, n_ops),
+        "beta": 50.0 * jax.nn.one_hot(
+            jnp.zeros((TINY.num_cell, TINY.op_per_cell), jnp.int32), 2),
+        "ratio": 50.0 * jax.nn.one_hot(
+            jnp.full((TINY.num_cell, TINY.op_per_cell - 1), n_w - 1,
+                     jnp.int32), n_w),
+        "alpha_att_levels": 50.0 * jax.nn.one_hot(
+            jnp.ones((TINY.num_cell_attn, TINY.op_per_cell_attn, n_attn),
+                     jnp.int32), n_attn),
+        "alpha_sink": 50.0 * jax.nn.one_hot(
+            jnp.zeros((TINY.num_cell_attn, TINY.op_per_cell_attn),
+                      jnp.int32), 2 * n_attn),
+        "alpha_activations": 50.0 * jax.nn.one_hot(
+            jnp.ones((TINY.num_cell_attn, TINY.op_per_cell_attn, 2 * n_attn),
+                     jnp.int32), 3),
+    }
+    geno = genotype(arch)
+    assert geno["widths"] == [[1.0]] * TINY.num_cell
+
+    clips = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 3, 8, 8))
+    want = model.apply(params, arch, clips, prun_mode="max")
+
+    derived = model.derive(geno)
+    d_params = derive_params(params, geno)
+    got = derived.apply(d_params, clips)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    # fresh init + gradient flow for the retrain stage
+    p2 = derived.init(jax.random.PRNGKey(5))
+    g = jax.grad(lambda p: jnp.sum(derived.apply(p, clips) ** 2))(p2)
+    assert any(jnp.any(x != 0) for x in jax.tree_util.tree_leaves(g))

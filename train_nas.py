@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--lr_w", type=float, default=1e-3)
     ap.add_argument("--lr_arch", type=float, default=3e-3)
     ap.add_argument("--flops_weight", type=float, default=1e-12)
+    ap.add_argument("--retrain_steps", type=int, default=0,
+                    help="after search, retrain the derived (discretized) "
+                         "network for N steps with transplanted weights")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (search is conv-small)")
@@ -109,6 +112,32 @@ def main():
 
     sel = genotype(arch)
     print("genotype:", json.dumps(sel))
+
+    if args.retrain_steps:
+        # AGD retrain stage: discretize to the single-op network, transplant
+        # the searched weights, continue with the image criterion only.
+        from gpnf_tpu.models.nas import derive_params
+        derived = model.derive(sel)
+        d_params = derive_params(params, sel)
+        opt_r = optax.adam(args.lr_w)
+        st_r = opt_r.init(d_params)
+
+        @jax.jit
+        def r_step(p, st, clips, hr):
+            def loss_fn(pp):
+                return model.criterion_image(derived.apply(pp, clips), hr,
+                                             feature_fn=feat)
+            loss, g = jax.value_and_grad(loss_fn)(p)
+            upd, st = opt_r.update(g, st, p)
+            return optax.apply_updates(p, upd), st, loss
+
+        for step in range(args.retrain_steps):
+            k_d, k1 = jax.random.split(k_d)
+            clips, hr = batch(k1)
+            d_params, st_r, lr_loss = r_step(d_params, st_r, clips, hr)
+            if step % 5 == 0 or step == args.retrain_steps - 1:
+                print(f"retrain {step}: loss={float(lr_loss):.4f} "
+                      f"({time.time()-t0:.1f}s)")
 
 
 if __name__ == "__main__":
