@@ -60,6 +60,7 @@ class LRHRDataset:
         assert len(hr_images) == len(lr_images)
         self.hr = hr_images
         self.lr = lr_images
+        self.measures = None  # KPI sampling (LRHR_PKL_dataset.py:106-129)
 
     @staticmethod
     def _box_down(im: np.ndarray, scale: int) -> np.ndarray:
@@ -93,7 +94,22 @@ class LRHRDataset:
                 lr, hr = np.rot90(lr, k), np.rot90(hr, k)
         lr = np.ascontiguousarray(lr.transpose(2, 0, 1)).astype(np.float32) / 255.0
         hr = np.ascontiguousarray(hr.transpose(2, 0, 1)).astype(np.float32) / 255.0
+        # KPI sampling: keep pixel means/stds of the first and ~5% of pairs
+        # as a data-sanity signal (LRHR_PKL_dataset.py:106-112)
+        if self.measures is None or self.rng.random() < 0.05:
+            self.measures = {
+                "hr_means": float(np.mean(hr)), "hr_stds": float(np.std(hr)),
+                "lr_means": float(np.mean(lr)), "lr_stds": float(np.std(lr)),
+            }
         return lr, hr
+
+    def print_and_reset(self, tag: str, log_fn=print):
+        """Emit the sampled KPI line and clear it
+        (LRHR_PKL_dataset.py:123-129)."""
+        m = self.measures or {}
+        log_fn("[KPI] " + tag + ": "
+               + ", ".join(f"{k}={m[k]:.2f}" for k in sorted(m)))
+        self.measures = None
 
     def batches(self, batch_size: int, *, shuffle: Optional[bool] = None,
                 drop_last: bool = True):

@@ -202,6 +202,8 @@ def train_srflow(model_cfg: SRFlowConfig, train_cfg: SRTrainConfig, train_set,
             it += 1
             if it % 100 == 0:
                 log_fn(f"iter {it} nll {float(loss):.4f}")
+                if getattr(train_set, "measures", None):
+                    train_set.print_and_reset("train_data", log_fn=log_fn)
             if val_set is not None and it % val_freq == 0:
                 psnrs = validate(model, params, val_set, heats=train_cfg.heats, rng=rng)
                 log_fn(f"iter {it} val PSNR: " +

@@ -195,3 +195,18 @@ def test_sr_baseline_loop_reduces_pixel_loss(tmp_path):
     assert len(losses) >= 2, "expected loss logs at iters 100 and 200"
     assert losses[-1] < losses[0], losses
     assert (tmp_path / "step_200.npz").exists()
+
+
+def test_lrhr_kpi_sampling():
+    """Dataset KPI sampling (LRHR_PKL_dataset.py:106-129): pair stats are
+    recorded and print_and_reset emits + clears them."""
+    from gpnf_tpu.data.lrhr import LRHRConfig, LRHRDataset, synthetic_lrhr
+
+    ds = LRHRDataset(LRHRConfig(crop_size=32, scale=4),
+                     hr_images=synthetic_lrhr(n=2, hr_size=32, scale=4))
+    ds.sample_pair(0)
+    assert set(ds.measures) == {"hr_means", "hr_stds", "lr_means", "lr_stds"}
+    lines = []
+    ds.print_and_reset("train_data", log_fn=lines.append)
+    assert lines and lines[0].startswith("[KPI] train_data:")
+    assert ds.measures is None
