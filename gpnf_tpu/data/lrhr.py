@@ -50,6 +50,10 @@ class LRHRDataset:
         self.cfg = cfg
         self.train = train
         self.rng = np.random.default_rng(seed)
+        # KPI draws come from their OWN stream, drawn unconditionally, so
+        # logging cadence never shifts the crop/flip/rot stream (seeded
+        # runs stay reproducible across logging configs)
+        self._kpi_rng = np.random.default_rng(seed + 0x5EED)
         if hr_images is None:
             hr_images = load_pkls(cfg.hr_path)
         if lr_images is None:
@@ -96,7 +100,8 @@ class LRHRDataset:
         hr = np.ascontiguousarray(hr.transpose(2, 0, 1)).astype(np.float32) / 255.0
         # KPI sampling: keep pixel means/stds of the first and ~5% of pairs
         # as a data-sanity signal (LRHR_PKL_dataset.py:106-112)
-        if self.measures is None or self.rng.random() < 0.05:
+        kpi_draw = self._kpi_rng.random()  # unconditional: cadence-invariant
+        if self.measures is None or kpi_draw < 0.05:
             self.measures = {
                 "hr_means": float(np.mean(hr)), "hr_stds": float(np.std(hr)),
                 "lr_means": float(np.mean(lr)), "lr_stds": float(np.std(lr)),

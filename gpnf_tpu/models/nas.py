@@ -555,14 +555,22 @@ class DerivedVideoSR:
                 pairs.append((ws[i - 1], ws[i]))
         return pairs
 
+    def _quantize(self, ci, oi):
+        """beta is only trained in 'search' mode (MixedOp.apply ignores it
+        otherwise) — for fixed-quantize configs keep the config's choice,
+        not the argmax of an untrained beta."""
+        if self.cfg.quantize == "search":
+            return bool(self.geno["quantized"][ci][oi])
+        return bool(self.cfg.quantize)
+
     def _run_cells(self, cell_params, x):
         out = x
         for ci, row in enumerate(self.cell_ops):
             pairs = self._cell_pairs(ci)
             h = out
             for oi, op in enumerate(row):
-                q = bool(self.geno["quantized"][ci][oi])
-                h = op.apply(cell_params[ci][oi], h, pairs[oi], quantize=q)
+                h = op.apply(cell_params[ci][oi], h, pairs[oi],
+                             quantize=self._quantize(ci, oi))
             out = h * 0.2 + out
         return out
 

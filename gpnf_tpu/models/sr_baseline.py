@@ -89,16 +89,27 @@ def train_sr_baseline(rrdb_cfg: RRDBConfig, cfg: SRBaselineTrainConfig,
 
     def val_psnr(p):
         vals = []
-        for lr_img, hr_img in val_set.batches(4, shuffle=False,
+        vb = 4
+        for lr_img, hr_img in val_set.batches(vb, shuffle=False,
                                               drop_last=False):
-            sr = np.asarray(fwd(p, jnp.asarray(lr_img)))
-            for j in range(len(sr)):
+            n_real = len(lr_img)
+            if n_real < vb:  # pad to the compiled batch shape (one program)
+                lr_img = np.concatenate(
+                    [lr_img] + [lr_img[:1]] * (vb - n_real), axis=0)
+            sr = np.asarray(fwd(p, jnp.asarray(lr_img)))[:n_real]
+            for j in range(n_real):
                 vals.append(psnr(
                     np.clip(sr[j].transpose(1, 2, 0), 0, 1) * 255,
                     np.asarray(hr_img[j]).transpose(1, 2, 0) * 255))
         return float(np.mean(vals)) if vals else float("nan")
 
+    if len(train_set) < batch_size:
+        raise ValueError(
+            f"train set has {len(train_set)} images < batch_size "
+            f"{batch_size}: batches() with drop_last yields nothing and the "
+            "loop would spin forever")
     it, total = 0, (max_steps or cfg.niter)
+    last_saved = -1
     while it < total:
         for lr_img, hr_img in train_set.batches(batch_size):
             params, opt_state, loss = step_fn(params, opt_state,
@@ -112,7 +123,9 @@ def train_sr_baseline(rrdb_cfg: RRDBConfig, cfg: SRBaselineTrainConfig,
                 log_fn(f"iter {it} val PSNR {v:.2f}")
                 ckpt.save(it, {"params": params, "opt_state": opt_state},
                           metric=-v)
+                last_saved = it
             if it >= total:
                 break
-    ckpt.save(it, {"params": params, "opt_state": opt_state})
+    if last_saved != it:
+        ckpt.save(it, {"params": params, "opt_state": opt_state})
     return model, params

@@ -191,6 +191,11 @@ def train_srflow(model_cfg: SRFlowConfig, train_cfg: SRTrainConfig, train_set,
             log_fn(f"WARNING: ignoring incompatible checkpoint ({e}); "
                    "training from scratch")
             it = 0
+    if len(train_set) < train_cfg.batch_size:
+        raise ValueError(
+            f"train set has {len(train_set)} images < batch_size "
+            f"{train_cfg.batch_size}: batches() with drop_last yields "
+            "nothing and the loop would spin forever")
     total = max_steps or train_cfg.niter
     while it < total:
         for lr_img, hr_img in train_set.batches(train_cfg.batch_size):

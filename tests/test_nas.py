@@ -204,26 +204,27 @@ def test_supernet_init_scales_with_num_cell():
     assert len(p["cells_pre"]) == 12 and len(p["cells_recon"]) == 12
 
 
-def test_supernet_decorrelated_stage_widths():
-    """pre and recon stages draw independent width samples (the reference
-    resamples prun_ratio between stages, model_search.py:585-589)."""
+def test_supernet_decorrelated_stage_widths(monkeypatch):
+    """apply() draws one INDEPENDENT width sample per conv stage (the
+    reference resamples prun_ratio between the attention and recon stages,
+    model_search.py:585-589) — regression: a single shared draw."""
     model = NASVideoSR(TINY)
+    params = model.init(jax.random.PRNGKey(0))
     arch = model.init_arch()
-    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
-    r_pre = model.sample_ratio(arch, k1, "arch_ratio")
-    r_rec = model.sample_ratio(arch, k2, "arch_ratio")
-    flat = lambda r: np.asarray([np.argmax(np.asarray(x))
-                                 for row in r for x in row])
-    # with 2 cells x 1 boundary x 3 widths, identical draws from different
-    # keys are possible but full-tree equality across many keys is not
-    diffs = 0
-    for seed in range(8):
-        ka, kb = jax.random.split(jax.random.PRNGKey(seed))
-        if not np.array_equal(flat(model.sample_ratio(arch, ka)),
-                              flat(model.sample_ratio(arch, kb))):
-            diffs += 1
-    assert diffs > 0
-    del r_pre, r_rec
+    clips = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 3, 8, 8))
+
+    calls = []
+    real = NASVideoSR.sample_ratio
+
+    def spy(self, a, key, mode="arch_ratio"):
+        calls.append(np.asarray(key))
+        return real(self, a, key, mode)
+
+    monkeypatch.setattr(NASVideoSR, "sample_ratio", spy)
+    model.apply(params, arch, clips, jax.random.PRNGKey(2))
+    assert len(calls) == 2, "expected one width draw per conv stage"
+    assert not np.array_equal(calls[0], calls[1]), \
+        "pre/recon stages reused the same PRNG key (correlated widths)"
 
 
 def test_search_smoke_deterministic_genotype():

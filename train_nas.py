@@ -120,7 +120,7 @@ def main():
         derived = model.derive(sel)
         d_params = derive_params(params, sel)
         opt_r = optax.adam(args.lr_w)
-        st_r = opt_r.init(d_params)
+        st_r = jax.jit(opt_r.init)(d_params)  # one dispatch, not per leaf
 
         @jax.jit
         def r_step(p, st, clips, hr):

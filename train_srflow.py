@@ -109,7 +109,6 @@ def main():
         from gpnf_tpu.models.rrdb import RRDBConfig
         from gpnf_tpu.models.sr_baseline import (SRBaselineTrainConfig,
                                                  train_sr_baseline)
-        from gpnf_tpu.utils.options import opt_get
         train = opt.get("train") or {}
         rrdb_cfg = RRDBConfig(nf=model_cfg.rrdb_nf, nb=model_cfg.rrdb_nb,
                               scale=model_cfg.scale)
