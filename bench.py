@@ -56,6 +56,7 @@ def main():
                        remat=os.environ.get("BENCH_REMAT", "1") == "1",
                        remat_mode=os.environ.get("BENCH_REMAT_MODE", "body"),
                        scan_steps=os.environ.get("BENCH_SCAN", "1") == "1",
+                       scan_unroll=int(os.environ.get("BENCH_SCAN_UNROLL", 1)),
                        remat_levels=(tuple(int(i) for i in
                                      os.environ["BENCH_REMAT_LEVELS"].split(","))
                                      if os.environ.get("BENCH_REMAT_LEVELS")

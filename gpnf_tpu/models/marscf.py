@@ -63,6 +63,11 @@ class MarScfConfig:
     # level (compile one body per level, not K), rematerialize the scan body
     # on the backward pass.
     scan_steps: bool = True
+    # lax.scan unroll factor for the K-step scan: >1 replicates the body at
+    # compile time, letting XLA elide the loop-carried stacking copies
+    # (~30 ms/step "copies" bucket, docs/BENCHMARKS.md r3 anatomy) at the
+    # cost of a K/unroll-times-larger program. 1 = rolled (default).
+    scan_unroll: int = 1
     remat: bool = True
     # limit remat to specific levels (0-based); None = all levels when
     # remat=True. Level 0 (largest spatial extent) holds most of the
@@ -256,7 +261,8 @@ class MarScfFlow:
                 policy = jax.checkpoint_policies.save_only_these_names(
                     *self.cfg.remat_save_names.split(","))
             body = jax.checkpoint(body, policy=policy)
-        (z, logdet), _ = jax.lax.scan(body, (z, logdet), xs, reverse=inverse)
+        (z, logdet), _ = jax.lax.scan(body, (z, logdet), xs, reverse=inverse,
+                                      unroll=max(1, self.cfg.scan_unroll))
         return z, logdet
 
     # -- density -------------------------------------------------------------

@@ -145,3 +145,20 @@ def test_train_loop_no_double_eval_at_final_step(tmp_path, monkeypatch):
         async_checkpoint=False)
     loop_mod.train(mcfg, tcfg, log_fn=lambda *_: None)
     assert len(eval_steps) == 2, f"expected evals at steps 4 and 8 only, got {len(eval_steps)}"
+
+
+def test_scan_unroll_matches_rolled():
+    """scan_unroll replicates the scan body at compile time; forward NLL and
+    samples must be bit-comparable to the rolled scan."""
+    base = tiny_cfg(use_attention=False)
+    from dataclasses import asdict
+    cfg_u = MarScfConfig(**{**asdict(base), "scan_unroll": 2})
+    m0, m1 = MarScfFlow(base), MarScfFlow(cfg_u)
+    params = m0.init(KEY)
+    x = _data(4)
+    params = m0.ddi(params, x, jax.random.PRNGKey(2))
+    k = jax.random.PRNGKey(3)
+    _, nll0 = m0.forward(params, x, rng=k, train=False)
+    _, nll1 = m1.forward(params, x, rng=k, train=False)
+    np.testing.assert_allclose(np.asarray(nll0), np.asarray(nll1),
+                               rtol=1e-6, atol=1e-6)
