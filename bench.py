@@ -71,10 +71,13 @@ def main():
     rng = jax.random.PRNGKey(0)
     params = to_default_device(init_on_cpu(model.init, rng))
 
-    # flat-buffer update (one big kernel instead of ~2k per-leaf ones);
-    # BENCH_FLAT_OPT=0 restores the per-leaf path for the ablation
+    # Per-leaf update by default: the flat-buffer (optax.flatten) variant
+    # measured 532 vs 696 img/s on TPU v5e — raveling the full param+grad
+    # set per step costs more HBM traffic than the ~2k tiny per-leaf kernel
+    # launches it eliminates, and it breaks buffer donation (flat-opt A/B in
+    # docs/BENCHMARKS.md). BENCH_FLAT_OPT=1 re-enables it for the ablation.
     opt = optax.adamax(1e-4)
-    if os.environ.get("BENCH_FLAT_OPT", "1") == "1":
+    if os.environ.get("BENCH_FLAT_OPT", "0") == "1":
         opt = optax.flatten(opt)
     opt_state = to_default_device(init_on_cpu(opt.init, params))
     step = make_train_step(bits_per_dim_loss(model), opt, mesh=None,

@@ -13,6 +13,7 @@ train.py, models/SR_model.py):
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Optional, Sequence
@@ -61,14 +62,17 @@ def make_srflow_optimizer(cfg: SRTrainConfig, params):
                 "flow": jax.tree.map(lambda _: "flow", p["flow"])}
 
     def group(base_lr):
-        # optax.flatten: per-group update runs on ONE raveled vector instead
-        # of one tiny kernel per leaf (the 3.4k-op/step SRFlow anatomy in
-        # docs/BENCHMARKS.md; same change as the mAR-SCF loop)
-        return optax.flatten(optax.chain(
+        # Per-leaf updates by default: the optax.flatten raveled-vector
+        # update measured 23% slower end-to-end on the mAR-SCF loop (full
+        # param+grad ravel per step costs more than the tiny-kernel launch
+        # floor it saves; docs/BENCHMARKS.md flat-opt A/B). GPNF_FLAT_OPT=1
+        # opts back in for ablation.
+        g = optax.chain(
             optax.add_decayed_weights(cfg.weight_decay) if cfg.weight_decay
             else optax.identity(),
             optax.adam(learning_rate=_lr_schedule(cfg, base_lr), b1=0.9, b2=0.99),
-        ))
+        )
+        return optax.flatten(g) if os.environ.get("GPNF_FLAT_OPT") == "1" else g
 
     opt = optax.multi_transform(
         {"rrdb": group(cfg.lr_RRDB), "flow": group(cfg.lr_G)}, label_fn)
