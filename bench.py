@@ -57,6 +57,8 @@ def main():
                        remat_mode=os.environ.get("BENCH_REMAT_MODE", "body"),
                        scan_steps=os.environ.get("BENCH_SCAN", "1") == "1",
                        scan_unroll=int(os.environ.get("BENCH_SCAN_UNROLL", 1)),
+                       prior_scan_unroll=int(
+                           os.environ.get("BENCH_PRIOR_UNROLL", 1)),
                        remat_levels=(tuple(int(i) for i in
                                      os.environ["BENCH_REMAT_LEVELS"].split(","))
                                      if os.environ.get("BENCH_REMAT_LEVELS")
@@ -76,9 +78,15 @@ def main():
     # set per step costs more HBM traffic than the ~2k tiny per-leaf kernel
     # launches it eliminates, and it breaks buffer donation (flat-opt A/B in
     # docs/BENCHMARKS.md). BENCH_FLAT_OPT=1 re-enables it for the ablation.
+    # BENCH_FLAT_OPT=small ravels only the 423 tiny (<=4096-elem) leaves
+    # (training/optim.py flatten_small) — the middle point under A/B.
     opt = optax.adamax(1e-4)
-    if os.environ.get("BENCH_FLAT_OPT", "0") == "1":
+    flat_mode = os.environ.get("BENCH_FLAT_OPT", "0")
+    if flat_mode == "1":
         opt = optax.flatten(opt)
+    elif flat_mode == "small":
+        from gpnf_tpu.training.optim import flatten_small
+        opt = flatten_small(opt, params)
     opt_state = to_default_device(init_on_cpu(opt.init, params))
     step = make_train_step(bits_per_dim_loss(model), opt, mesh=None,
                            donate=True)

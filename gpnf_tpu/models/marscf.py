@@ -68,6 +68,10 @@ class MarScfConfig:
     # (~30 ms/step "copies" bucket, docs/BENCHMARKS.md r3 anatomy) at the
     # cost of a K/unroll-times-larger program. 1 = rolled (default).
     scan_unroll: int = 1
+    # same idea for the ConvLSTM prior's wavefront scan over channel-waves
+    # (T+L-1 = 8/14/50 tiny-conv steps per level at flagship size): >1 lets
+    # XLA fuse gate math across waves and drop carry-stacking copies.
+    prior_scan_unroll: int = 1
     remat: bool = True
     # limit remat to specific levels (0-based); None = all levels when
     # remat=True. Level 0 (largest spatial extent) holds most of the
@@ -194,7 +198,8 @@ class MarScfFlow:
                 cc, hh, ww, cfg.L, hidden_size=cfg.prior_hidden,
                 dp_rate=cfg.prior_dp_rate, num_layers=cfg.prior_layers,
                 compute_dtype=(jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
-                               else None))
+                               else None),
+                scan_unroll=max(1, cfg.prior_scan_unroll))
             self.split_priors = None
         elif cfg.prior == "gaussian":
             self.prior = None

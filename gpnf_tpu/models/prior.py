@@ -36,11 +36,12 @@ class ConvSeqEncoder:
 
     def __init__(self, input_ch: int, out_ch: int, embed_ch: int,
                  kernel_size: int = 5, dilation: int = 1, num_layers: int = 1,
-                 dropout: float = 0.0):
+                 dropout: float = 0.0, scan_unroll: int = 1):
         self.input_ch, self.out_ch, self.embed_ch = input_ch, out_ch, embed_ch
         self.k = kernel_size
         self.lstm = ConvRNN("LSTM", embed_ch, embed_ch, kernel_size,
-                            num_layers=num_layers, dilation=dilation, ndim=2)
+                            num_layers=num_layers, dilation=dilation, ndim=2,
+                            scan_unroll=scan_unroll)
         self.dropout = dropout
 
     def init(self, key):
@@ -95,7 +96,8 @@ class ChannelPriorUniScale:
 
     def __init__(self, nc_base: int, height: int, width: int, level: int,
                  tot_levels: int, hidden_size: int = 32, num_layers: int = 1,
-                 dp_rate: float = 0.0, compute_dtype=None):
+                 dp_rate: float = 0.0, compute_dtype=None,
+                 scan_unroll: int = 1):
         self.level, self.tot_levels = level, tot_levels
         # run the ConvLSTM/conv stack in this dtype (e.g. bf16, matching the
         # coupling networks); the Gaussian likelihood math stays fp32
@@ -109,7 +111,7 @@ class ChannelPriorUniScale:
         self.encoder = ConvSeqEncoder(
             input_ch=input_ch, out_ch=2, embed_ch=hidden_size,
             kernel_size=KERNEL_SIZES[level - 1], dilation=DILATIONS[level - 1],
-            num_layers=num_layers, dropout=dp_rate)
+            num_layers=num_layers, dropout=dp_rate, scan_unroll=scan_unroll)
 
     def init(self, key):
         k1, k2, k3 = jax.random.split(key, 3)
@@ -207,12 +209,13 @@ class ChannelPriorMultiScale:
 
     def __init__(self, nc_base: int, height: int, width: int, levels: int,
                  hidden_size: int = 32, dp_rate: float = 0.0, num_layers: int = 2,
-                 compute_dtype=None):
+                 compute_dtype=None, scan_unroll: int = 1):
         self.levels = levels
         self.priors = [
             ChannelPriorUniScale(nc_base, height, width, level, levels,
                                  hidden_size=hidden_size, num_layers=num_layers,
-                                 dp_rate=dp_rate, compute_dtype=compute_dtype)
+                                 dp_rate=dp_rate, compute_dtype=compute_dtype,
+                                 scan_unroll=scan_unroll)
             for level in range(1, levels + 1)
         ]
 

@@ -59,7 +59,8 @@ class ConvRNN:
 
     def __init__(self, mode: str, in_channels: int, out_channels: int,
                  kernel_size, *, num_layers: int = 1, bidirectional: bool = False,
-                 dilation=1, dropout: float = 0.0, ndim: int = 2):
+                 dilation=1, dropout: float = 0.0, ndim: int = 2,
+                 scan_unroll: int = 1):
         assert mode in GATE_COUNT, mode
         self.mode = mode
         self.in_ch, self.out_ch = in_channels, out_channels
@@ -70,6 +71,11 @@ class ConvRNN:
         self.dilation = dilation
         self.dropout = dropout
         self.ndim = ndim
+        # lax.scan unroll factor over the time axis: the per-wave convs of
+        # these recurrences are tiny (launch-floor-bound on TPU); unrolling
+        # lets XLA fuse the elementwise gate math across steps and drop the
+        # loop-carried stacking copies, at a larger compiled program.
+        self.scan_unroll = max(1, scan_unroll)
         self.gate_size = GATE_COUNT[mode] * out_channels
 
     def init(self, key):
@@ -157,7 +163,8 @@ class ConvRNN:
             out, new_carry = self.cell(lp, ig, carry)
             return new_carry, out
 
-        state, outs = jax.lax.scan(step, state, igates_t, reverse=reverse)
+        state, outs = jax.lax.scan(step, state, igates_t, reverse=reverse,
+                                   unroll=self.scan_unroll)
         return jnp.swapaxes(outs, 0, 1), state
 
     def _apply_wavefront(self, params, x_seq):
@@ -223,7 +230,8 @@ class ConvRNN:
             return (h, cc), h[ell - 1]
 
         (h, cc), ys = jax.lax.scan(
-            wave, (h0, h0), (ig0, jnp.arange(t + ell - 1)))
+            wave, (h0, h0), (ig0, jnp.arange(t + ell - 1)),
+            unroll=self.scan_unroll)
         outs = jnp.swapaxes(ys[ell - 1: ell - 1 + t], 0, 1)
         return outs, (h, cc)
 

@@ -101,13 +101,25 @@ def train(model_cfg: MarScfConfig, train_cfg: TrainConfig, *, log_fn=print):
     # update instead of poisoning the params.
     sched = optax.linear_schedule(0.0, train_cfg.lr,
                                   max(train_cfg.warm_up // train_cfg.batch_size, 1))
-    # optax.flatten ravels params/grads into ONE vector for the update: the
-    # per-leaf Adamax otherwise emits ~2k tiny (<=[192]) kernels per step
-    # (~6 us launch floor each ~ 15-20 ms/step on TPU; xprof attribution in
-    # docs/BENCHMARKS.md). Checkpointed opt state is the flat vectors.
-    opt = optax.flatten(
-        optax.apply_if_finite(optax.adamax(learning_rate=sched),
-                              max_consecutive_errors=100))
+    # Per-leaf Adamax emits ~2k tiny (<=[192]) kernels per step, but the
+    # optax.flatten alternative measured 23% SLOWER end-to-end on TPU v5e
+    # (532 vs 696 img/s, docs/BENCHMARKS.md flat-opt A/B): raveling ~34M
+    # params + grads every step costs more HBM traffic than the ~6 us/launch
+    # floor it saves, and it breaks param/opt-state buffer donation. Kept as
+    # an opt-in ablation knob (GPNF_FLAT_OPT=1); checkpointed opt state is
+    # then the flat vectors (resume falls back to a fresh optimizer).
+    opt = optax.apply_if_finite(optax.adamax(learning_rate=sched),
+                                max_consecutive_errors=100)
+    flat_mode = os.environ.get("GPNF_FLAT_OPT", "0")
+    if flat_mode == "1":
+        opt = optax.flatten(opt)
+    elif flat_mode == "small":
+        # middle point: ravel only the 423 tiny (<=4096-elem, 0.5%-of-params)
+        # leaves — kills their launch-floor kernels at a few MB/step of
+        # concat traffic (training/optim.py; GPNF_FLAT_OPT=small opts in,
+        # pending the TPU A/B)
+        from .optim import flatten_small
+        opt = flatten_small(opt, params)
     opt_state = jax.jit(opt.init)(params)  # one call, not one op per leaf
 
     step_fn = make_train_step(bits_per_dim_loss(model), opt, mesh,

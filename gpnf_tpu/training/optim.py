@@ -1,0 +1,88 @@
+"""Optimizer pytree-layout transforms (TPU kernel-launch economics).
+
+Per-leaf elementwise optimizer updates emit one fused kernel per param
+leaf at a ~6 us launch floor; the flagship mAR-SCF model has 584 leaves of
+which 423 hold <=4096 elements — 0.5% of the 46M params (docs/BENCHMARKS.md
+round-3 step anatomy). Two prior attempts bracketed the fix:
+
+- per-leaf everywhere: ~1k tiny launch-floor kernels per step;
+- ``optax.flatten`` over the FULL tree: no tiny kernels, but raveling all
+  params + grads + two moments every step is ~0.5 GB of pure HBM
+  concat/slice traffic and it breaks buffer donation — measured 23%
+  SLOWER end-to-end (532 vs 696 img/s, flat-opt A/B).
+
+``flatten_small`` is the middle point: ravel ONLY the tiny leaves (per
+dtype) into one flat vector — a few MB of traffic — and keep the large
+leaves per-leaf, donation-friendly. Coordinate-wise transforms (Adam,
+Adamax, weight decay, clipping, ...) are invariant under this relayout,
+same as ``optax.flatten``'s premise.
+
+No reference counterpart: torch optimizers iterate per-tensor on the host
+(marscf_main.py:304, torch.optim.Adamax) where launch count is hidden by
+CUDA stream queuing; on TPU the per-step dispatch economics are ours to
+manage.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def flatten_small(inner: optax.GradientTransformation,
+                  params: Any,
+                  threshold: int = 4096) -> optax.GradientTransformation:
+    """Wrap ``inner`` so leaves with ``size <= threshold`` update as one
+    raveled vector per dtype while larger leaves stay per-leaf.
+
+    ``params`` fixes the partition (structure, shapes, dtypes) at wrap
+    time; the returned transform only accepts trees of that structure.
+    The optimizer STATE pytree differs from ``inner``'s (checkpoints of
+    one layout restore params but fall back to a fresh optimizer under
+    the other — same caveat as ``optax.flatten``).
+    """
+    leaves, treedef = jax.tree.flatten(params)
+    n = len(leaves)
+    small_idx = [i for i, l in enumerate(leaves) if l.size <= threshold]
+    large_idx = [i for i, l in enumerate(leaves) if l.size > threshold]
+    meta = {i: (leaves[i].shape, jnp.dtype(leaves[i].dtype),
+                int(np.prod(leaves[i].shape, dtype=np.int64)))
+            for i in small_idx}
+    # one flat bucket per dtype (concat requires a single dtype)
+    buckets: dict[str, list[int]] = {}
+    for i in small_idx:
+        buckets.setdefault(str(meta[i][1]), []).append(i)
+    bucket_keys = sorted(buckets)
+
+    def split(tree):
+        lvs = treedef.flatten_up_to(tree)
+        if len(lvs) != n:
+            raise ValueError("flatten_small: tree structure mismatch")
+        flat = {k: jnp.concatenate([jnp.ravel(lvs[i]) for i in buckets[k]])
+                for k in bucket_keys}
+        return {"flat": flat, "large": tuple(lvs[i] for i in large_idx)}
+
+    def merge(s):
+        out: list[Any] = [None] * n
+        for k in bucket_keys:
+            vec, off = s["flat"][k], 0
+            for i in buckets[k]:
+                shape, _, size = meta[i]
+                out[i] = jax.lax.slice(vec, (off,), (off + size,)).reshape(shape)
+                off += size
+        for j, i in enumerate(large_idx):
+            out[i] = s["large"][j]
+        return treedef.unflatten(out)
+
+    def init_fn(p):
+        return inner.init(split(p))
+
+    def update_fn(updates, state, p=None):
+        new_u, new_state = inner.update(
+            split(updates), state, split(p) if p is not None else None)
+        return merge(new_u), new_state
+
+    return optax.GradientTransformation(init_fn, update_fn)

@@ -162,3 +162,21 @@ def test_scan_unroll_matches_rolled():
     _, nll1 = m1.forward(params, x, rng=k, train=False)
     np.testing.assert_allclose(np.asarray(nll0), np.asarray(nll1),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_prior_scan_unroll_matches_rolled():
+    """prior_scan_unroll unrolls the ConvLSTM wavefront scan; likelihoods
+    must match the rolled scan bit-comparably."""
+    from dataclasses import asdict
+    base = tiny_cfg(use_attention=False, prior="convlstm", prior_hidden=8,
+                    prior_layers=2)
+    cfg_u = MarScfConfig(**{**asdict(base), "prior_scan_unroll": 4})
+    m0, m1 = MarScfFlow(base), MarScfFlow(cfg_u)
+    params = m0.init(KEY)
+    x = _data(4)
+    params = m0.ddi(params, x, jax.random.PRNGKey(2))
+    k = jax.random.PRNGKey(3)
+    _, nll0 = m0.forward(params, x, rng=k, train=False)
+    _, nll1 = m1.forward(params, x, rng=k, train=False)
+    np.testing.assert_allclose(np.asarray(nll0), np.asarray(nll1),
+                               rtol=1e-6, atol=1e-6)
