@@ -70,7 +70,8 @@ class MarScfConfig:
     scan_unroll: int = 1
     # same idea for the ConvLSTM prior's wavefront scan over channel-waves
     # (T+L-1 = 8/14/50 tiny-conv steps per level at flagship size): >1 lets
-    # XLA fuse gate math across waves and drop carry-stacking copies.
+    # XLA fuse gate math across waves and drop carry-stacking copies;
+    # 0 = full unroll. Measured +7% end-to-end at 8 (docs/BENCHMARKS.md).
     prior_scan_unroll: int = 1
     remat: bool = True
     # limit remat to specific levels (0-based); None = all levels when
@@ -199,7 +200,7 @@ class MarScfFlow:
                 dp_rate=cfg.prior_dp_rate, num_layers=cfg.prior_layers,
                 compute_dtype=(jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                                else None),
-                scan_unroll=max(1, cfg.prior_scan_unroll))
+                scan_unroll=cfg.prior_scan_unroll)
             self.split_priors = None
         elif cfg.prior == "gaussian":
             self.prior = None

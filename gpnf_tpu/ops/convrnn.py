@@ -75,7 +75,9 @@ class ConvRNN:
         # these recurrences are tiny (launch-floor-bound on TPU); unrolling
         # lets XLA fuse the elementwise gate math across steps and drop the
         # loop-carried stacking copies, at a larger compiled program.
-        self.scan_unroll = max(1, scan_unroll)
+        # 0 = FULL unroll (lax.scan unroll=True). Measured +7% end-to-end on
+        # the mAR-SCF flagship at unroll=8 (docs/BENCHMARKS.md r3 levers).
+        self.scan_unroll = True if scan_unroll == 0 else max(1, scan_unroll)
         self.gate_size = GATE_COUNT[mode] * out_channels
 
     def init(self, key):

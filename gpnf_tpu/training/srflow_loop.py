@@ -61,21 +61,46 @@ def make_srflow_optimizer(cfg: SRTrainConfig, params):
         return {"rrdb": jax.tree.map(lambda _: "rrdb", p["rrdb"]),
                 "flow": jax.tree.map(lambda _: "flow", p["flow"])}
 
-    def group(base_lr):
-        # Per-leaf updates by default: the optax.flatten raveled-vector
-        # update measured 23% slower end-to-end on the mAR-SCF loop (full
-        # param+grad ravel per step costs more than the tiny-kernel launch
-        # floor it saves; docs/BENCHMARKS.md flat-opt A/B). GPNF_FLAT_OPT=1
-        # opts back in for ablation.
+    flat_mode = os.environ.get("GPNF_FLAT_OPT", "0")
+
+    def group(base_lr, sub_params=None):
+        # Optimizer pytree layout (docs/BENCHMARKS.md flat-opt A/B):
+        # per-leaf by default; GPNF_FLAT_OPT=1 = optax.flatten (full ravel,
+        # 23% slower on the mAR-SCF loop); GPNF_FLAT_OPT=small = ravel only
+        # tiny leaves (training/optim.py flatten_small).
         g = optax.chain(
             optax.add_decayed_weights(cfg.weight_decay) if cfg.weight_decay
             else optax.identity(),
             optax.adam(learning_rate=_lr_schedule(cfg, base_lr), b1=0.9, b2=0.99),
         )
-        return optax.flatten(g) if os.environ.get("GPNF_FLAT_OPT") == "1" else g
+        if flat_mode == "1":
+            g = optax.flatten(g)
+        elif flat_mode == "small" and sub_params is not None:
+            from .optim import flatten_small
+            g = flatten_small(g, sub_params)
+        return g
 
-    opt = optax.multi_transform(
-        {"rrdb": group(cfg.lr_RRDB), "flow": group(cfg.lr_G)}, label_fn)
+    if flat_mode == "small":
+        # multi_transform's masked trees (MaskedNode leaves) are structurally
+        # incompatible with flatten_small's fixed partition, but the two
+        # labels split exactly at the top-level key — partition directly.
+        g_rrdb = group(cfg.lr_RRDB, params["rrdb"])
+        g_flow = group(cfg.lr_G, params["flow"])
+
+        def _init(p):
+            return {"rrdb": g_rrdb.init(p["rrdb"]), "flow": g_flow.init(p["flow"])}
+
+        def _update(u, s, p=None):
+            ur, sr = g_rrdb.update(u["rrdb"], s["rrdb"],
+                                   p["rrdb"] if p is not None else None)
+            uf, sf = g_flow.update(u["flow"], s["flow"],
+                                   p["flow"] if p is not None else None)
+            return {"rrdb": ur, "flow": uf}, {"rrdb": sr, "flow": sf}
+
+        opt = optax.GradientTransformation(_init, _update)
+    else:
+        opt = optax.multi_transform(
+            {"rrdb": group(cfg.lr_RRDB), "flow": group(cfg.lr_G)}, label_fn)
     # skip non-finite updates (train.py:194-198 catch-and-continue analogue)
     opt = optax.apply_if_finite(opt, max_consecutive_errors=100)
 

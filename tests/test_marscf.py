@@ -164,13 +164,14 @@ def test_scan_unroll_matches_rolled():
                                rtol=1e-6, atol=1e-6)
 
 
-def test_prior_scan_unroll_matches_rolled():
+@pytest.mark.parametrize("unroll", [4, 0])  # 0 = full unroll
+def test_prior_scan_unroll_matches_rolled(unroll):
     """prior_scan_unroll unrolls the ConvLSTM wavefront scan; likelihoods
     must match the rolled scan bit-comparably."""
     from dataclasses import asdict
     base = tiny_cfg(use_attention=False, prior="convlstm", prior_hidden=8,
                     prior_layers=2)
-    cfg_u = MarScfConfig(**{**asdict(base), "prior_scan_unroll": 4})
+    cfg_u = MarScfConfig(**{**asdict(base), "prior_scan_unroll": unroll})
     m0, m1 = MarScfFlow(base), MarScfFlow(cfg_u)
     params = m0.init(KEY)
     x = _data(4)
