@@ -58,7 +58,7 @@ def main():
                        scan_steps=os.environ.get("BENCH_SCAN", "1") == "1",
                        scan_unroll=int(os.environ.get("BENCH_SCAN_UNROLL", 1)),
                        prior_scan_unroll=int(
-                           os.environ.get("BENCH_PRIOR_UNROLL", 1)),
+                           os.environ.get("BENCH_PRIOR_UNROLL", 0)),
                        remat_levels=(tuple(int(i) for i in
                                      os.environ["BENCH_REMAT_LEVELS"].split(","))
                                      if os.environ.get("BENCH_REMAT_LEVELS")

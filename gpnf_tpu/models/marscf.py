@@ -71,8 +71,11 @@ class MarScfConfig:
     # same idea for the ConvLSTM prior's wavefront scan over channel-waves
     # (T+L-1 = 8/14/50 tiny-conv steps per level at flagship size): >1 lets
     # XLA fuse gate math across waves and drop carry-stacking copies;
-    # 0 = full unroll. Measured +7% end-to-end at 8 (docs/BENCHMARKS.md).
-    prior_scan_unroll: int = 1
+    # 0 = FULL unroll — the default: measured 690 -> 771 img/s (+12%)
+    # end-to-end on the flagship train step, with unroll 8/16 in between
+    # (docs/BENCHMARKS.md round-3 levers). Also unrolls the ancestral-
+    # sampling channel scan. Set 1 to restore the rolled scan.
+    prior_scan_unroll: int = 0
     remat: bool = True
     # limit remat to specific levels (0-based); None = all levels when
     # remat=True. Level 0 (largest spatial extent) holds most of the

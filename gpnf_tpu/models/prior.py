@@ -107,6 +107,9 @@ class ChannelPriorUniScale:
         self.is_final = level == tot_levels
         self.nc = nc_base * 2 ** (level + 1 if self.is_final else level)
         self.dp_rate = dp_rate
+        # unroll factor for the ancestral-sampling channel scan (0 = full);
+        # same launch-floor economics as the likelihood wavefront scan
+        self.scan_unroll = True if scan_unroll == 0 else max(1, scan_unroll)
         input_ch = 1 if self.is_final else 5  # z channel (+4 cond-embedding ch)
         self.encoder = ConvSeqEncoder(
             input_ch=input_ch, out_ch=2, embed_ch=hidden_size,
@@ -199,7 +202,8 @@ class ChannelPriorUniScale:
             z_t = mean + jnp.exp(logs) * eps_t
             return (z_t, states), z_t
 
-        _, z_seq = jax.lax.scan(step, (init_x, init_states), eps)
+        _, z_seq = jax.lax.scan(step, (init_x, init_states), eps,
+                                unroll=self.scan_unroll)
         # (T, B, 1, H, W) -> (B, T, H, W)
         return jnp.transpose(z_seq[:, :, 0], (1, 0, 2, 3))
 

@@ -20,7 +20,9 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", 64))
     cfg = MarScfConfig(image_shape=(32, 32, 3), L=3, K=4, hidden_channels=96,
                        coupling="mixlogcdf",
-                       compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"))
+                       compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
+                       prior_scan_unroll=int(
+                           os.environ.get("BENCH_PRIOR_UNROLL", 0)))
     model = MarScfFlow(cfg)
     params = to_default_device(init_on_cpu(model.init, jax.random.PRNGKey(0)))
 
