@@ -63,8 +63,8 @@ def main():
                                      os.environ["BENCH_REMAT_LEVELS"].split(","))
                                      if os.environ.get("BENCH_REMAT_LEVELS")
                                      else None),
-                       remat_save_names=os.environ.get("BENCH_SAVE_NAMES",
-                                                       "remat_ckpt,wcast"),
+                       remat_save_names=os.environ.get(
+                           "BENCH_SAVE_NAMES", "remat_ckpt,wcast,attn_out"),
                        prior=os.environ.get("BENCH_PRIOR", "convlstm"),
                        num_blocks=int(os.environ.get("BENCH_NN_BLOCKS", 10)),
                        use_attention=os.environ.get("BENCH_ATTN", "1") == "1",

@@ -87,7 +87,11 @@ class MarScfConfig:
     # outputs) so the backward recomputes only within a block; "wcast" keeps
     # the tiny normalized/cast effective weights (they otherwise re-emit
     # ~1.5k sub-[192] kernels per backward, docs/BENCHMARKS.md r3 anatomy).
-    remat_save_names: str = "remat_ckpt,wcast"
+    # "attn_out" keeps each coupling-block attention output (B*S*C bf16,
+    # ~0.7 GB total at b256 flagship) so the backward restores instead of
+    # re-running the fused attention forward kernels: +7.6% on TPU v5e
+    # (748 -> 805 img/s A/B, docs/BENCHMARKS.md).
+    remat_save_names: str = "remat_ckpt,wcast,attn_out"
     # "body": jax.checkpoint around the whole K-step scan body with the
     # named-save policy above. "blocks": per-ConvAttnBlock jax.checkpoint
     # instead — same recompute granularity, but block boundaries are saved

@@ -137,9 +137,10 @@ class GatedAttn:
                 if rng is not None else jnp.zeros((1,), jnp.int32))
         attn = fused_attention_proj(seed, seq, w_in, self.num_heads, rate,
                                     train).astype(x.dtype)
-        # "attn_out" is OFF the default remat save policy (B*S*C bf16 per
-        # block adds up); add it via remat_save_names / BENCH_SAVE_NAMES to
-        # trade HBM for skipping the attention-forward recompute in backward
+        # "attn_out" is ON the default remat save policy: spending B*S*C
+        # bf16 of HBM per block to skip the attention-forward recompute in
+        # backward measured +7.6% on TPU v5e (748 -> 805 img/s,
+        # docs/BENCHMARKS.md); drop it from remat_save_names to trade back
         from jax.ad_checkpoint import checkpoint_name
         attn = checkpoint_name(attn, "attn_out")
         attn = attn.reshape(b, h, w, c)
