@@ -73,15 +73,14 @@ def main():
     rng = jax.random.PRNGKey(0)
     params = to_default_device(init_on_cpu(model.init, rng))
 
-    # Per-leaf update by default: the flat-buffer (optax.flatten) variant
-    # measured 532 vs 696 img/s on TPU v5e — raveling the full param+grad
-    # set per step costs more HBM traffic than the ~2k tiny per-leaf kernel
-    # launches it eliminates, and it breaks buffer donation (flat-opt A/B in
-    # docs/BENCHMARKS.md). BENCH_FLAT_OPT=1 re-enables it for the ablation.
-    # BENCH_FLAT_OPT=small ravels only the 423 tiny (<=4096-elem) leaves
-    # (training/optim.py flatten_small) — the middle point under A/B.
+    # flatten_small by default: raveling only the 423 tiny (<=4096-elem)
+    # leaves (training/optim.py) kills their ~1.5k launch-floor kernels and
+    # measured +5% under the pipelined protocol (995 vs 946 img/s); the FULL
+    # optax.flatten still LOSES 23% (0.5 GB/step of ravel traffic + broken
+    # buffer donation) — flat-opt A/B in docs/BENCHMARKS.md.
+    # BENCH_FLAT_OPT=0 restores per-leaf, =1 forces the full flatten.
     opt = optax.adamax(1e-4)
-    flat_mode = os.environ.get("BENCH_FLAT_OPT", "0")
+    flat_mode = os.environ.get("BENCH_FLAT_OPT", "small")
     if flat_mode == "1":
         opt = optax.flatten(opt)
     elif flat_mode == "small":

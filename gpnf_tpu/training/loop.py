@@ -101,23 +101,23 @@ def train(model_cfg: MarScfConfig, train_cfg: TrainConfig, *, log_fn=print):
     # update instead of poisoning the params.
     sched = optax.linear_schedule(0.0, train_cfg.lr,
                                   max(train_cfg.warm_up // train_cfg.batch_size, 1))
-    # Per-leaf Adamax emits ~2k tiny (<=[192]) kernels per step, but the
-    # optax.flatten alternative measured 23% SLOWER end-to-end on TPU v5e
-    # (532 vs 696 img/s, docs/BENCHMARKS.md flat-opt A/B): raveling ~34M
-    # params + grads every step costs more HBM traffic than the ~6 us/launch
-    # floor it saves, and it breaks param/opt-state buffer donation. Kept as
-    # an opt-in ablation knob (GPNF_FLAT_OPT=1); checkpointed opt state is
-    # then the flat vectors (resume falls back to a fresh optimizer).
+    # Optimizer-layout A/Bs on TPU v5e (docs/BENCHMARKS.md flat-opt A/B):
+    # full optax.flatten LOSES 23% (raveling ~34M params + grads every step
+    # costs more HBM traffic than the launch floors it saves, and it breaks
+    # param/opt-state buffer donation); flatten_small — raveling ONLY the
+    # 423 tiny (<=4096-elem, 0.5%-of-params) leaves — WINS 5% under the
+    # pipelined measurement protocol (995 vs 946 img/s; the old per-step-
+    # readback protocol hid it in RTT noise) and is the default. Opt-state
+    # checkpoints then store the tiny leaves as packed vectors; restoring an
+    # older per-leaf checkpoint falls back to a fresh optimizer (the loop's
+    # incompatible-ckpt recovery). GPNF_FLAT_OPT=0 restores per-leaf,
+    # =1 forces the full flatten ablation.
     opt = optax.apply_if_finite(optax.adamax(learning_rate=sched),
                                 max_consecutive_errors=100)
-    flat_mode = os.environ.get("GPNF_FLAT_OPT", "0")
+    flat_mode = os.environ.get("GPNF_FLAT_OPT", "small")
     if flat_mode == "1":
         opt = optax.flatten(opt)
     elif flat_mode == "small":
-        # middle point: ravel only the 423 tiny (<=4096-elem, 0.5%-of-params)
-        # leaves — kills their launch-floor kernels at a few MB/step of
-        # concat traffic (training/optim.py; GPNF_FLAT_OPT=small opts in,
-        # pending the TPU A/B)
         from .optim import flatten_small
         opt = flatten_small(opt, params)
     opt_state = jax.jit(opt.init)(params)  # one call, not one op per leaf
