@@ -68,6 +68,8 @@ def main():
                        prior=os.environ.get("BENCH_PRIOR", "convlstm"),
                        num_blocks=int(os.environ.get("BENCH_NN_BLOCKS", 10)),
                        use_attention=os.environ.get("BENCH_ATTN", "1") == "1",
+                       precompute_wn=os.environ.get(
+                           "BENCH_PRECOMPUTE_WN", "0") == "1",
                        drop_prob=float(os.environ.get("BENCH_DROP", 0.2)))
     model = MarScfFlow(cfg)
     rng = jax.random.PRNGKey(0)

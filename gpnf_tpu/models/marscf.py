@@ -101,6 +101,12 @@ class MarScfConfig:
     # "bfloat16" runs the coupling networks on the MXU in bf16 (log-det math
     # stays fp32); "float32" is the exact reference-precision path.
     compute_dtype: str = "float32"
+    # Hoist weight normalization out of the K-step scan: normalize each WN
+    # layer's stacked (K, ...) params in ONE fused kernel before the scan
+    # instead of per iteration + per rematted backward (ops/conv.py
+    # precompute_wn — kills ~2k tiny per-channel kernels/step of the r3
+    # anatomy). Numerics are identical (same fp32 norm, same cast order).
+    precompute_wn: bool = False
 
 
 class FlowStep:
@@ -252,6 +258,11 @@ class MarScfFlow:
             return z, logdet
 
         step = steps[0]  # all K steps share structure/shapes
+        if self.cfg.precompute_wn:
+            from ..ops.conv import precompute_wn
+            dt = (jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16"
+                  else jnp.float32)
+            stacked_or_list = precompute_wn(stacked_or_list, dt)
         if rng is not None:
             xs = (stacked_or_list, jax.random.split(rng, k))
         else:

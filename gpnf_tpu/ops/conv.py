@@ -131,6 +131,10 @@ class WNConv2d:
     def apply(self, params, x, *, layout: str = "NCHW"):
         from jax.ad_checkpoint import checkpoint_name
 
+        if "w_eff" in params:  # precompute_wn path: normalized outside scan
+            w = params["w_eff"]
+            w = w.astype(x.dtype) if w.dtype != x.dtype else w
+            return conv2d(x, w, params.get("b"), layout=layout)
         v = params["v"].astype(jnp.float32)  # weight norm in fp32 under bf16
         norm = jnp.sqrt(jnp.sum(v.reshape(v.shape[0], -1) ** 2, axis=-1))
         g = params["g"].astype(jnp.float32)
@@ -166,6 +170,10 @@ class WNDense:
         """The weight-normalized (out, in) matrix; differentiable in v, g."""
         from jax.ad_checkpoint import checkpoint_name
 
+        if "w_eff" in params:  # precompute_wn path (stored fp32 for dense)
+            w = params["w_eff"]
+            return w.astype(dtype) if dtype is not None and w.dtype != dtype \
+                else w
         v = params["v"].astype(jnp.float32)
         norm = jnp.sqrt(jnp.sum(v**2, axis=-1))
         g = params["g"].astype(jnp.float32)
@@ -180,3 +188,52 @@ class WNDense:
         if self.bias:
             y = y + params["b"]
         return y
+
+
+# ---------------------------------------------------------------------------
+# precompute_wn: hoist weight normalization out of the K-step scan.
+#
+# Every WNConv2d/WNDense use recomputes norm + scale + cast per scan
+# iteration (and again per rematted backward) — thousands of sub-[192]
+# kernel launches per step (~20 ms/step of the r3 xprof anatomy,
+# docs/BENCHMARKS.md). Applying this transform to the STACKED (K, ...)
+# level params before `lax.scan` computes each layer's effective weight
+# once for all K steps in one fused kernel; the scan then slices plain
+# weights per iteration, and the "wcast" named saves become ordinary scan
+# inputs (always live, never recomputed). Gradients flow v,g <- w_eff
+# outside the scan, also K-fused.
+# ---------------------------------------------------------------------------
+def _wn_effective(v: jax.Array, g: jax.Array, dtype) -> jax.Array:
+    """g * v / ||v||, norm over v's trailing (v.ndim - g.ndim) axes.
+
+    Shape-generic: works on unstacked (out, ...) and K-stacked
+    (K, out, ...) weight-norm params alike (g carries the leading axes)."""
+    v32 = v.astype(jnp.float32)
+    red = tuple(range(g.ndim, v.ndim))
+    norm = jnp.sqrt(jnp.sum(v32 * v32, axis=red))
+    scale = (g.astype(jnp.float32) / norm).reshape(
+        g.shape + (1,) * (v.ndim - g.ndim))
+    return (v32 * scale).astype(dtype)
+
+
+def precompute_wn(tree, conv_dtype):
+    """Replace every {v, g[, b]} weight-norm param dict in `tree` with
+    {w_eff[, b]}. Conv weights (4-D-per-step v) are stored at `conv_dtype`
+    (what WNConv2d.apply would cast to); dense weights stay fp32, matching
+    WNDense.effective_weight(dtype=None) — its callers cast at use. The
+    numerics are bit-identical to the per-use path (same fp32 norm, same
+    cast order)."""
+    def is_wn(x):
+        return isinstance(x, dict) and "v" in x and "g" in x
+
+    def conv(x):
+        if not is_wn(x):
+            return x
+        is_dense = x["v"].ndim - x["g"].ndim == 1
+        out = {"w_eff": _wn_effective(x["v"], x["g"],
+                                      jnp.float32 if is_dense else conv_dtype)}
+        if "b" in x:
+            out["b"] = x["b"]
+        return out
+
+    return jax.tree.map(conv, tree, is_leaf=is_wn)

@@ -12,6 +12,7 @@ with per-element log-dets accumulated exactly as the reference does
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -142,8 +143,15 @@ class GatedAttn:
         # backward measured +7.6% on TPU v5e (748 -> 805 img/s,
         # docs/BENCHMARKS.md); drop it from remat_save_names to trade back
         from jax.ad_checkpoint import checkpoint_name
-        attn = checkpoint_name(attn, "attn_out")
-        attn = attn.reshape(b, h, w, c)
+        if os.environ.get("GPNF_ATTN_SAVE_IMG", "0") == "1":
+            # A/B: tag AFTER the image-space reshape so the saved tensor's
+            # layout matches its NHWC gate-conv consumer (the (B,S,C)-tagged
+            # saves show as ~52 ms/step of layout-changing `checkpoint`
+            # copies in xprof, scripts/profile_train.py r3 anatomy)
+            attn = checkpoint_name(attn.reshape(b, h, w, c), "attn_out")
+        else:
+            attn = checkpoint_name(attn, "attn_out")
+            attn = attn.reshape(b, h, w, c)
 
         gated = self.gate.apply(params["gate"], attn)
         a, g = jnp.split(gated, 2, axis=-1)

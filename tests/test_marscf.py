@@ -181,3 +181,31 @@ def test_prior_scan_unroll_matches_rolled(unroll):
     _, nll1 = m1.forward(params, x, rng=k, train=False)
     np.testing.assert_allclose(np.asarray(nll0), np.asarray(nll1),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_precompute_wn_matches_per_use():
+    """precompute_wn hoists weight normalization out of the K-step scan;
+    forward NLL and v/g gradients must match the per-use path (same fp32
+    norm + cast order, so bit-comparable)."""
+    from dataclasses import asdict
+    base = tiny_cfg(coupling="mixlogcdf", K=2, use_attention=True)
+    cfg_p = MarScfConfig(**{**asdict(base), "precompute_wn": True})
+    m0, m1 = MarScfFlow(base), MarScfFlow(cfg_p)
+    params = m0.init(KEY)
+    x = _data(4)
+    params = m0.ddi(params, x, jax.random.PRNGKey(2))
+    k = jax.random.PRNGKey(3)
+
+    def nll_mean(m):
+        def f(p):
+            _, nll = m.forward(p, x, rng=k, train=True)
+            return jnp.mean(nll)
+        return f
+
+    v0, g0 = jax.value_and_grad(nll_mean(m0))(params)
+    v1, g1 = jax.value_and_grad(nll_mean(m1))(params)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1),
+                               rtol=1e-6, atol=1e-6)
+    for l0, l1 in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(l0), np.asarray(l1),
+                                   rtol=1e-4, atol=1e-5)
