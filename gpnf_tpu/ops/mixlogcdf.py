@@ -88,6 +88,12 @@ class GatedConv:
         h = concat_elu(h, ch_axis)
         h = _dropout(rng, h, self.drop_prob, train, channelwise=True,
                      layout=layout)
+        # "gate_in" tag: adding it to remat_save_names spends B*H*W*2C bf16
+        # per block to skip the 3x3-conv chain recompute in the rematted
+        # backward (the tag alone is free — only names in the save policy
+        # are materialized)
+        from jax.ad_checkpoint import checkpoint_name
+        h = checkpoint_name(h, "gate_in")
         h = self.gate.apply(params["gate"], h, layout=layout)
         a, b = jnp.split(h, 2, axis=ch_axis)
         return a * jax.nn.sigmoid(b)
@@ -154,6 +160,9 @@ class GatedAttn:
             attn = attn.reshape(b, h, w, c)
 
         gated = self.gate.apply(params["gate"], attn)
+        # "attn_gate" tag: saving it skips the gate-projection recompute in
+        # the rematted backward (opt-in via remat_save_names, like gate_in)
+        gated = checkpoint_name(gated, "attn_gate")
         a, g = jnp.split(gated, 2, axis=-1)
         return a * jax.nn.sigmoid(g)
 

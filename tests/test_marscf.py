@@ -209,3 +209,36 @@ def test_precompute_wn_matches_per_use():
     for l0, l1 in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(l0), np.asarray(l1),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_extended_save_names_match_default_grads():
+    """remat_save_names with the opt-in gate_in/attn_gate tags (and a policy
+    missing attn_out) must not change the loss or gradients — named saves
+    only trade recompute for memory (ops/mixlogcdf.py tags)."""
+    from dataclasses import asdict
+    base = tiny_cfg(coupling="mixlogcdf", K=2, use_attention=True)
+    variants = [
+        "remat_ckpt,wcast,attn_out,gate_in,attn_gate",
+        "remat_ckpt,wcast",
+    ]
+    m0 = MarScfFlow(base)
+    params = m0.init(KEY)
+    x = _data(4)
+    params = m0.ddi(params, x, jax.random.PRNGKey(2))
+    k = jax.random.PRNGKey(3)
+
+    def nll_mean(m):
+        def f(p):
+            _, nll = m.forward(p, x, rng=k, train=True)
+            return jnp.mean(nll)
+        return f
+
+    v0, g0 = jax.value_and_grad(nll_mean(m0))(params)
+    for names in variants:
+        cfg_v = MarScfConfig(**{**asdict(base), "remat_save_names": names})
+        v1, g1 = jax.value_and_grad(nll_mean(MarScfFlow(cfg_v)))(params)
+        np.testing.assert_allclose(np.asarray(v0), np.asarray(v1),
+                                   rtol=1e-6, atol=1e-6)
+        for l0, l1 in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(l0), np.asarray(l1),
+                                       rtol=1e-5, atol=1e-6)
