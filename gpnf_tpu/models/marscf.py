@@ -97,6 +97,15 @@ class MarScfConfig:
     # instead — same recompute granularity, but block boundaries are saved
     # as ordinary scan values rather than named-save barrier copies (the
     # barriers cost ~92 ms/step on TPU, scripts/profile_train.py).
+    # "noattn": NO scan-body checkpoint; instead sub-checkpoint only the
+    # conv branches, the layer norms, and the fp32 mixture head inside each
+    # coupling, leaving the fused-attention and gate matmul outputs to cross
+    # the scan as ORDINARY stacked residuals. Motivation: at the r4 995
+    # plateau the attn_out named-save barrier copies measured 52 ms/step
+    # (bf16[256,256,96] saves moving at ~12 GB/s) + 25 ms remat wrappers —
+    # the sub-checkpoints keep the no-remat OOM classes (fp32 mixture
+    # params, conv-chain intermediates) out of HBM while dropping every
+    # named-save barrier.
     remat_mode: str = "body"
     # "bfloat16" runs the coupling networks on the MXU in bf16 (log-det math
     # stays fp32); "float32" is the exact reference-precision path.
@@ -125,7 +134,8 @@ class FlowStep:
                 channels, cfg.hidden_channels, num_blocks=cfg.num_blocks,
                 num_components=cfg.num_components, drop_prob=cfg.drop_prob,
                 compute_dtype=compute_dtype,
-                block_remat=cfg.remat and cfg.remat_mode == "blocks")
+                block_remat=cfg.remat and cfg.remat_mode == "blocks",
+                sub_remat=cfg.remat and cfg.remat_mode == "noattn")
             self.tuple_flip = TupleFlip()
         elif cfg.coupling == "affine":
             self.coupling = AffineCoupling(channels, channels, cfg.hidden_channels)

@@ -168,10 +168,18 @@ class GatedAttn:
 
 
 class ConvAttnBlock:
-    def __init__(self, num_ch: int, drop_prob: float, use_attn: bool, aux_ch=None):
+    def __init__(self, num_ch: int, drop_prob: float, use_attn: bool, aux_ch=None,
+                 sub_remat: bool = False):
         self.conv = GatedConv(num_ch, drop_prob, aux_ch)
         self.norm1 = LayerNorm(num_ch)
         self.use_attn = use_attn
+        # "noattn" remat mode: checkpoint ONLY the conv branch and the norms
+        # (their recompute is cheap elementwise/conv work) and leave the
+        # attention + gate matmuls un-rematted, so their outputs cross the
+        # K-step scan as ORDINARY stacked residuals instead of named-save
+        # barrier copies — the `checkpoint bf16[256,256,96]` save copies
+        # measured 52 ms/step (~12 GB/s effective) at the 995 plateau.
+        self.sub_remat = sub_remat
         if use_attn:
             self.attn = GatedAttn(num_ch, drop_prob=drop_prob)
             self.norm2 = LayerNorm(num_ch)
@@ -192,14 +200,28 @@ class ConvAttnBlock:
         r1 = r2 = None
         if rng is not None:
             r1, r2 = jax.random.split(rng)
-        x = self.conv.apply(params["conv"], x, aux, rng=r1, train=train,
-                            layout=layout) + x
+
+        def conv_res(p, xx, aa, rr):
+            return self.conv.apply(p, xx, aa, rng=rr, train=train,
+                                   layout=layout) + xx
+
+        if self.sub_remat:
+            # saves only (params, x, aux, rng); the concat-ELU/3x3/GLU chain
+            # recomputes in backward — cheaper than storing its fp32
+            # elementwise intermediates (the no-remat OOM class)
+            conv_res = jax.checkpoint(conv_res)
+            norm = lambda p, xx, n=None: jax.checkpoint(
+                (self.norm1 if n == 1 else self.norm2).apply)(p, xx)
+        else:
+            norm = lambda p, xx, n=None: (
+                self.norm1 if n == 1 else self.norm2).apply(p, xx)
+        x = conv_res(params["conv"], x, aux, r1)
         if layout == "NCHW":
             x = x.transpose(0, 2, 3, 1)  # NCHW -> NHWC for norms/attention
-        x = self.norm1.apply(params["norm1"], x)
+        x = norm(params["norm1"], x, 1)
         if self.use_attn:
             x = self.attn.apply(params["attn"], x, rng=r2, train=train) + x
-            x = self.norm2.apply(params["norm2"], x)
+            x = norm(params["norm2"], x, 2)
         if layout == "NCHW":
             x = x.transpose(0, 3, 1, 2)
         if not mark_ckpt:
@@ -220,11 +242,13 @@ class MixLogCDFNet:
 
     def __init__(self, in_ch: int, num_ch: int, num_blocks: int, num_components: int,
                  drop_prob: float, use_attn: bool = True, aux_ch=None,
-                 compute_dtype=None, block_remat: bool = False):
+                 compute_dtype=None, block_remat: bool = False,
+                 sub_remat: bool = False):
         self.k = num_components
         self.in_ch = in_ch
         self.in_conv = WNConv2d(in_ch, num_ch, 3)
-        self.blocks = [ConvAttnBlock(num_ch, drop_prob, use_attn, aux_ch)
+        self.blocks = [ConvAttnBlock(num_ch, drop_prob, use_attn, aux_ch,
+                                     sub_remat=sub_remat)
                        for _ in range(num_blocks)]
         self.out_conv = WNConv2d(num_ch, in_ch * (2 + 3 * self.k), 3)
         self.compute_dtype = compute_dtype
@@ -233,6 +257,9 @@ class MixLogCDFNet:
         # barriers — the scan-body save_only_these_names policy materializes
         # "checkpoint" copy ops measured at ~92 ms/step on TPU)
         self.block_remat = block_remat
+        # "noattn" mode (see ConvAttnBlock): sub-checkpoint conv/norm/head
+        # regions, leave attention outputs as plain residuals
+        self.sub_remat = sub_remat
 
     def init(self, key):
         ks = jax.random.split(key, len(self.blocks) + 3)
@@ -243,23 +270,26 @@ class MixLogCDFNet:
             "rescale": jnp.ones((self.in_ch, 1, 1)),
         }
 
-    def apply(self, params, x, aux=None, *, rng=None, train=False):
-        b, c, h, w = x.shape
+    def _cast_params(self, tree):
+        if self.compute_dtype is None:
+            return tree
+        from jax.ad_checkpoint import checkpoint_name
+        # tagged "wcast": saved by the remat policy so the backward pass
+        # doesn't redo ~40 tiny casts per coupling net
+        cast = lambda t: (checkpoint_name(t.astype(self.compute_dtype),
+                                          "wcast")
+                          if jnp.issubdtype(t.dtype, jnp.floating) else t)
+        return jax.tree.map(cast, tree)
+
+    def apply_blocks(self, params, x, aux=None, *, rng=None, train=False):
+        """in_conv + ConvAttn blocks, channel-last; returns (B,H,W,Cmid)."""
         rngs = jax.random.split(rng, len(self.blocks)) if rng is not None else [None] * len(self.blocks)
+        net_params = self._cast_params({k: params[k] for k in
+                                        ("in_conv", "blocks")})
         if self.compute_dtype is not None:
-            from jax.ad_checkpoint import checkpoint_name
-            # tagged "wcast": saved by the remat policy so the backward pass
-            # doesn't redo ~40 tiny casts per coupling net
-            cast = lambda t: (checkpoint_name(t.astype(self.compute_dtype),
-                                              "wcast")
-                              if jnp.issubdtype(t.dtype, jnp.floating) else t)
-            net_params = jax.tree.map(cast, {k: params[k] for k in
-                                             ("in_conv", "blocks", "out_conv")})
             x = x.astype(self.compute_dtype)
             if aux is not None:
                 aux = aux.astype(self.compute_dtype)
-        else:
-            net_params = params
         # the whole stack runs channel-last (TPU-native): ONE relayout here
         # and one at the exit instead of NCHW conv relayouts + 2 transposes
         # per block (docs/BENCHMARKS.md round-2 step anatomy)
@@ -275,7 +305,13 @@ class MixLogCDFNet:
                 y = jax.checkpoint(block_fn)(p, y, aux, r)
             else:
                 y = blk.apply(p, y, aux, rng=r, train=train, layout="NHWC")
-        y = self.out_conv.apply(net_params["out_conv"], y, layout="NHWC")
+        return y
+
+    def apply_head(self, params, y, shape):
+        """out_conv + fp32 mixture-parameter head. y: (B,H,W,Cmid)."""
+        b, c, h, w = shape
+        out_p = self._cast_params(params["out_conv"])
+        y = self.out_conv.apply(out_p, y, layout="NHWC")
         y = y.transpose(0, 3, 1, 2)
         y = y.astype(jnp.float32)  # log-density math stays fp32
 
@@ -287,36 +323,55 @@ class MixLogCDFNet:
         a = params["rescale"][None] * jnp.tanh(a)
         return a, t, pi, mu, scales
 
+    def apply(self, params, x, aux=None, *, rng=None, train=False):
+        b, c, h, w = x.shape
+        y = self.apply_blocks(params, x, aux, rng=rng, train=train)
+        return self.apply_head(params, y, (b, c, h, w))
+
 
 class MixLogCDFCoupling:
     def __init__(self, in_ch: int, mid_ch: int, num_blocks: int = 10,
                  num_components: int = 32, drop_prob: float = 0.2,
                  use_attn: bool = True, aux_ch=None, compute_dtype=None,
-                 block_remat: bool = False):
+                 block_remat: bool = False, sub_remat: bool = False):
         self.net = MixLogCDFNet(in_ch // 2, mid_ch, num_blocks, num_components,
                                 drop_prob, use_attn, aux_ch,
                                 compute_dtype=compute_dtype,
-                                block_remat=block_remat)
+                                block_remat=block_remat, sub_remat=sub_remat)
+        self.sub_remat = sub_remat
 
     def init(self, key):
         return {"net": self.net.init(key)}
 
-    def forward(self, params, x, logdet, *, rng=None, train=False, **_):
+    def _head(self, net_params, y_blocks, x_change):
+        """out_conv + fp32 mixture math + fused transform/ldj kernel. In
+        "noattn" mode this whole region is one jax.checkpoint: its fp32
+        intermediates (per-component pi/mu/logs, the no-remat OOM class at
+        4x192 MB per level-0 step) recompute in backward instead of being
+        stored; only y_blocks and x_change are saved."""
         from .pallas.fused_mixlogcdf import mixlogcdf_forward
 
-        x_change, x_id = split_channels(x)
-        a, b, pi, mu, s = self.net.apply(params["net"], x_id, rng=rng, train=train)
-        # fused Pallas kernel on TPU: mixture CDF/PDF + logit + affine + ldj
-        # in one VMEM pass (jnp reference elsewhere)
-        bsz = x.shape[0]
+        bsz, ch = x_change.shape[0], x_change.shape[1]
+        a, b, pi, mu, s = self.net.apply_head(
+            net_params, y_blocks, (bsz, ch, *x_change.shape[2:]))
         k = pi.shape[1]
         flat = lambda t: t.reshape(bsz, -1)
         y, ldj = mixlogcdf_forward(flat(x_change), flat(a), flat(b),
                                    pi.reshape(bsz, k, -1),
                                    mu.reshape(bsz, k, -1),
                                    s.reshape(bsz, k, -1))
+        return y, jnp.sum(ldj, axis=-1)
+
+    def forward(self, params, x, logdet, *, rng=None, train=False, **_):
+        x_change, x_id = split_channels(x)
+        # fused Pallas kernel on TPU: mixture CDF/PDF + logit + affine + ldj
+        # in one VMEM pass (jnp reference elsewhere)
+        y_blocks = self.net.apply_blocks(params["net"], x_id, rng=rng,
+                                         train=train)
+        head = jax.checkpoint(self._head) if self.sub_remat else self._head
+        y, ldj_sum = head(params["net"], y_blocks, x_change)
         out = y.reshape(x_change.shape)
-        logdet = logdet + jnp.sum(ldj, axis=-1)
+        logdet = logdet + ldj_sum
         return jnp.concatenate([out, x_id], axis=1), logdet
 
     def inverse(self, params, y, logdet, *, rng=None, train=False, **_):

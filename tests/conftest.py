@@ -17,8 +17,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")  # beat the axon plugin's override
 jax.config.update("jax_num_cpu_devices", 8)  # virtual 8-device mesh (jax>=0.8)
 jax.config.update("jax_default_matmul_precision", "highest")
-# persistent compile cache: repeat suite runs skip XLA compilation
-jax.config.update("jax_compilation_cache_dir", "/tmp/gpnf_jax_cache")
+# persistent compile cache: repeat suite runs skip XLA compilation.
+# SEPARATE dir from the TPU benches' /tmp/gpnf_jax_cache: sessions with the
+# axon plugin active write CPU AOT entries compiled on the server-class
+# terminal host (AMX machine features this VM lacks — the cpu_aot_loader
+# warns "could lead to execution errors such as SIGILL"), and cross-loading
+# them here can crash the suite.
+jax.config.update("jax_compilation_cache_dir", "/tmp/gpnf_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 assert jax.default_backend() == "cpu", jax.default_backend()
