@@ -31,6 +31,21 @@ def conv2d(x: jax.Array, w: jax.Array, b=None, *, stride=1, padding="SAME",
     # transpose rule under AD.
     preferred = jnp.float32 if x.dtype == jnp.float32 else None
     dimnums = _DIMNUMS if layout == "NCHW" else ("NHWC", "OIHW", "NHWC")
+
+    # spatial parallelism (parallel/spatial.py): inside a `spatial_axis`
+    # shard_map body, SAME stride-1 convs exchange halo rows along H over
+    # the mesh axis and convolve VALID on H — bit-compatible with the
+    # unsharded SAME conv (border shards receive zeros).
+    from ..parallel import spatial as _sp
+    sp_axis = _sp.current_spatial_axis()
+    kh, kw = (w.shape[2], w.shape[3])
+    if sp_axis is not None and kh > 1:
+        assert padding == "SAME" and stride[0] == 1, (
+            "spatial sharding supports stride-1 SAME convs on H", padding,
+            stride)
+        halo = (kh - 1) // 2 * dilation[0]
+        x = _sp.halo_pad_h(x, sp_axis, halo, layout=layout)
+        padding = ((0, 0), ((kw - 1) // 2 * dilation[1],) * 2)
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=stride, padding=padding,
         rhs_dilation=dilation, dimension_numbers=dimnums,
