@@ -57,6 +57,8 @@ def main():
                        remat_mode=os.environ.get("BENCH_REMAT_MODE", "body"),
                        scan_steps=os.environ.get("BENCH_SCAN", "1") == "1",
                        scan_unroll=int(os.environ.get("BENCH_SCAN_UNROLL", 1)),
+                       scan_split_transpose=os.environ.get(
+                           "BENCH_SPLIT_TRANSPOSE", "0") == "1",
                        prior_scan_unroll=int(
                            os.environ.get("BENCH_PRIOR_UNROLL", 0)),
                        remat_levels=(tuple(int(i) for i in

@@ -68,6 +68,12 @@ class MarScfConfig:
     # (~30 ms/step "copies" bucket, docs/BENCHMARKS.md r3 anatomy) at the
     # cost of a K/unroll-times-larger program. 1 = rolled (default).
     scan_unroll: int = 1
+    # lax.scan _split_transpose for the K-step scan: splits the scan's
+    # transpose (the backward) into a forward-replay scan plus a separate
+    # gradient scan, which can reschedule the rematted-residual stacking
+    # copies (the ~32 ms copy bucket, docs/BENCHMARKS.md r4 anatomy).
+    # Opt-in experiment knob; default off.
+    scan_split_transpose: bool = False
     # same idea for the ConvLSTM prior's wavefront scan over channel-waves
     # (T+L-1 = 8/14/50 tiny-conv steps per level at flagship size): >1 lets
     # XLA fuse gate math across waves and drop carry-stacking copies;
@@ -295,8 +301,10 @@ class MarScfFlow:
                 policy = jax.checkpoint_policies.save_only_these_names(
                     *self.cfg.remat_save_names.split(","))
             body = jax.checkpoint(body, policy=policy)
-        (z, logdet), _ = jax.lax.scan(body, (z, logdet), xs, reverse=inverse,
-                                      unroll=max(1, self.cfg.scan_unroll))
+        (z, logdet), _ = jax.lax.scan(
+            body, (z, logdet), xs, reverse=inverse,
+            unroll=max(1, self.cfg.scan_unroll),
+            _split_transpose=self.cfg.scan_split_transpose)
         return z, logdet
 
     # -- density -------------------------------------------------------------

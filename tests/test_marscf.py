@@ -271,3 +271,31 @@ def test_noattn_remat_mode_matches_body_grads():
     for l0, l1 in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_split_transpose_scan_matches_default_grads():
+    """scan_split_transpose=True (lax.scan _split_transpose on the K-step
+    scan, models/marscf.py) restructures only the scan's backward pass —
+    loss and gradients must match the default rolled scan exactly."""
+    from dataclasses import replace
+    base = tiny_cfg(coupling="mixlogcdf", K=2, use_attention=True)
+    m0 = MarScfFlow(base)
+    params = m0.init(KEY)
+    x = _data(4)
+    params = m0.ddi(params, x, jax.random.PRNGKey(2))
+    k = jax.random.PRNGKey(3)
+
+    def nll_mean(m):
+        def f(p):
+            _, nll = m.forward(p, x, rng=k, train=True)
+            return jnp.mean(nll)
+        return f
+
+    v0, g0 = jax.value_and_grad(nll_mean(m0))(params)
+    m1 = MarScfFlow(replace(base, scan_split_transpose=True))
+    v1, g1 = jax.value_and_grad(nll_mean(m1))(params)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
+                               rtol=1e-5, atol=1e-6)
+    for l0, l1 in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                                   rtol=1e-4, atol=1e-5)
