@@ -83,7 +83,11 @@ def main():
     # optax.flatten still LOSES 23% (0.5 GB/step of ravel traffic + broken
     # buffer donation) — flat-opt A/B in docs/BENCHMARKS.md.
     # BENCH_FLAT_OPT=0 restores per-leaf, =1 forces the full flatten.
-    opt = optax.adamax(1e-4)
+    # the production optimizer (training/loop.py): torch-exact Adamax
+    # (reference_adamax — same op structure as optax.adamax, eps moved into
+    # the max; perf-identical, trajectory-parity-exact).
+    from gpnf_tpu.training.optim import reference_adamax
+    opt = reference_adamax(1e-4)
     flat_mode = os.environ.get("BENCH_FLAT_OPT", "small")
     if flat_mode == "1":
         opt = optax.flatten(opt)

@@ -51,10 +51,18 @@ class InvConv1x1:
         return {"p": p, "l": l, "u": u, "sign_s": sign_s, "log_s": log_s}
 
     def _factors(self, params):
+        # p / sign_s are BUFFERS in the reference (common_modules.py:74-75,
+        # register_buffer): never trained. stop_gradient keeps them exactly
+        # fixed under any momentum optimizer (zero grad from step 0 => zero
+        # Adamax update) — training p off a permutation / sign_s off +-1
+        # would silently invalidate the sum(log_s) logdet. Caught by
+        # tests/test_optim.py::test_adamax_trajectory_lockstep_vs_torch.
+        p = jax.lax.stop_gradient(params["p"])
+        sign_s = jax.lax.stop_gradient(params["sign_s"])
         eye = jnp.asarray(self._eye)
         l = jnp.tril(params["l"], -1) + eye
-        u = jnp.triu(params["u"], 1) + jnp.diag(params["sign_s"] * jnp.exp(params["log_s"]))
-        return params["p"], l, u
+        u = jnp.triu(params["u"], 1) + jnp.diag(sign_s * jnp.exp(params["log_s"]))
+        return p, l, u
 
     def _ldj(self, params, x):
         h, w = x.shape[2], x.shape[3]

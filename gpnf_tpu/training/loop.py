@@ -95,12 +95,17 @@ def train(model_cfg: MarScfConfig, train_cfg: TrainConfig, *, log_fn=print):
 
     mesh = make_mesh() if train_cfg.use_mesh and len(jax.devices()) > 1 else None
 
-    # Adamax + linear warmup counted in samples (marscf_main.py:302-303,346).
+    # Adamax + linear warmup counted in samples (marscf_main.py:302-303,346)
+    # with torch-EXACT semantics: reference_adamax replicates torch's
+    # eps-inside-the-max infinity-norm buffer and reference_warmup the
+    # one-step-lagged sample-counted ramp (lockstep trajectory parity,
+    # tests/test_optim.py::test_adamax_trajectory_lockstep_vs_torch).
     # apply_if_finite = the TPU-native analogue of the reference's per-step
     # RuntimeError/NaN swallow (train.py:194-198): non-finite grads skip the
     # update instead of poisoning the params.
-    sched = optax.linear_schedule(0.0, train_cfg.lr,
-                                  max(train_cfg.warm_up // train_cfg.batch_size, 1))
+    from .optim import reference_adamax, reference_warmup
+    sched = reference_warmup(train_cfg.lr, train_cfg.warm_up,
+                             train_cfg.batch_size)
     # Optimizer-layout A/Bs on TPU v5e (docs/BENCHMARKS.md flat-opt A/B):
     # full optax.flatten LOSES 23% (raveling ~34M params + grads every step
     # costs more HBM traffic than the launch floors it saves, and it breaks
@@ -112,7 +117,7 @@ def train(model_cfg: MarScfConfig, train_cfg: TrainConfig, *, log_fn=print):
     # older per-leaf checkpoint falls back to a fresh optimizer (the loop's
     # incompatible-ckpt recovery). GPNF_FLAT_OPT=0 restores per-leaf,
     # =1 forces the full flatten ablation.
-    opt = optax.apply_if_finite(optax.adamax(learning_rate=sched),
+    opt = optax.apply_if_finite(reference_adamax(learning_rate=sched),
                                 max_consecutive_errors=100)
     flat_mode = os.environ.get("GPNF_FLAT_OPT", "small")
     if flat_mode == "1":

@@ -24,12 +24,80 @@ manage.
 """
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+
+
+class _RefAdamaxState(NamedTuple):
+    count: jnp.ndarray  # int32 step counter (completed updates)
+    mu: Any             # first-moment EMA (torch exp_avg)
+    nu: Any             # infinity-norm buffer (torch exp_inf)
+
+
+def reference_adamax(learning_rate,
+                     b1: float = 0.9,
+                     b2: float = 0.999,
+                     eps: float = 1e-8) -> optax.GradientTransformation:
+    """Adamax with torch.optim.Adamax's EXACT update semantics.
+
+    The reference trains with ``optim.Adamax(lr=1e-4)`` (marscf_main.py:302).
+    ``optax.adamax`` differs from torch in one place: torch folds eps into the
+    infinity-norm buffer, ``u_t = max(b2*u, |g| + eps)`` then divides by
+    ``u_t``; optax keeps ``u_t = max(b2*u, |g|)`` and divides by ``u_t + eps``.
+    For trajectory parity (bits/dim at 400 epochs, BASELINE.md) we replicate
+    torch exactly: u is monotone >= eps from step 1 under torch's form, which
+    changes tiny-gradient coordinates' effective step size.
+
+    ``learning_rate`` may be a float or a schedule evaluated at the number of
+    COMPLETED updates (0 for the first), matching optax convention.
+    """
+    def init_fn(params):
+        z = lambda p: jnp.zeros_like(p)
+        return _RefAdamaxState(count=jnp.zeros([], jnp.int32),
+                               mu=jax.tree.map(z, params),
+                               nu=jax.tree.map(z, params))
+
+    def update_fn(updates, state, params=None):
+        del params
+        mu = jax.tree.map(lambda m, g: b1 * m + (1.0 - b1) * g,
+                          state.mu, updates)
+        nu = jax.tree.map(lambda u, g: jnp.maximum(b2 * u, jnp.abs(g) + eps),
+                          state.nu, updates)
+        count = state.count + 1
+        if callable(learning_rate):
+            lr = learning_rate(state.count)
+        else:
+            lr = learning_rate
+        # torch: param -= (lr / (1 - b1^t)) * exp_avg / exp_inf
+        clr = lr / (1.0 - b1 ** count.astype(jnp.float32))
+        new_updates = jax.tree.map(lambda m, u: (-clr) * m / u, mu, nu)
+        return new_updates, _RefAdamaxState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def reference_warmup(base_lr: float, warm_up: int, batch_size: int):
+    """The reference's linear-warmup schedule with its EXACT step counting.
+
+    marscf_main.py:303,345-347: ``LambdaLR(opt, lambda s: min(1, s/warm_up))``
+    driven by ``scheduler.step(global_step)`` AFTER ``optimizer.step()``, with
+    ``global_step`` counted in SAMPLES and incremented after the scheduler
+    call. Net effect: update i (0-based) runs at
+    ``base_lr * min(1, (i-1)*batch_size / warm_up)`` — updates 0 and 1 run at
+    lr 0 (LambdaLR's constructor already applies lambda(0)), i.e. the whole
+    ramp lags one step behind a naive ``min(1, i*bs/warm_up)``.
+    """
+    wu = float(max(warm_up, 1))
+
+    def schedule(count):
+        s = jnp.maximum(count.astype(jnp.float32) - 1.0, 0.0) * batch_size
+        return base_lr * jnp.minimum(1.0, s / wu)
+
+    return schedule
 
 
 def flatten_small(inner: optax.GradientTransformation,
