@@ -301,10 +301,14 @@ class MarScfFlow:
                 policy = jax.checkpoint_policies.save_only_these_names(
                     *self.cfg.remat_save_names.split(","))
             body = jax.checkpoint(body, policy=policy)
+        scan_kwargs = {}
+        if self.cfg.scan_split_transpose:
+            # _split_transpose is a private, unstable lax.scan kwarg; only the
+            # opt-in experimental path may depend on it (ADVICE r3).
+            scan_kwargs["_split_transpose"] = True
         (z, logdet), _ = jax.lax.scan(
             body, (z, logdet), xs, reverse=inverse,
-            unroll=max(1, self.cfg.scan_unroll),
-            _split_transpose=self.cfg.scan_split_transpose)
+            unroll=max(1, self.cfg.scan_unroll), **scan_kwargs)
         return z, logdet
 
     # -- density -------------------------------------------------------------

@@ -1,5 +1,7 @@
 """End-to-end mAR-SCF model tests (small configs): encode/decode round trip,
 bits/dim sanity, data-dependent init, sampling."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -273,29 +275,93 @@ def test_noattn_remat_mode_matches_body_grads():
                                    rtol=1e-4, atol=1e-5)
 
 
-def test_split_transpose_scan_matches_default_grads():
+def test_split_transpose_scan_matches_default_grads(tmp_path):
     """scan_split_transpose=True (lax.scan _split_transpose on the K-step
     scan, models/marscf.py) restructures only the scan's backward pass —
-    loss and gradients must match the default rolled scan exactly."""
-    from dataclasses import replace
-    base = tiny_cfg(coupling="mixlogcdf", K=2, use_attention=True)
-    m0 = MarScfFlow(base)
-    params = m0.init(KEY)
-    x = _data(4)
-    params = m0.ddi(params, x, jax.random.PRNGKey(2))
-    k = jax.random.PRNGKey(3)
+    loss and gradients must match the default rolled scan exactly.
 
-    def nll_mean(m):
-        def f(p):
-            _, nll = m.forward(p, x, rng=k, train=True)
-            return jnp.mean(nll)
-        return f
+    Runs in a SUBPROCESS with the persistent compile cache disabled: in-suite
+    this test segfaulted the interpreter (exit 134/139 inside JAX's
+    compilation-cache read during the _scan_transpose_fancy compile — r3
+    VERDICT/ADVICE) while passing standalone, so it gets a fresh interpreter
+    and no cache to read."""
+    import subprocess
+    import sys
 
-    v0, g0 = jax.value_and_grad(nll_mean(m0))(params)
-    m1 = MarScfFlow(replace(base, scan_split_transpose=True))
-    v1, g1 = jax.value_and_grad(nll_mean(m1))(params)
-    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
-                               rtol=1e-5, atol=1e-6)
-    for l0, l1 in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
-        np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
-                                   rtol=1e-4, atol=1e-5)
+    script = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+# no persistent compile cache: the suite-order segfault was in the cache read
+import jax.numpy as jnp
+import numpy as np
+from dataclasses import replace
+from gpnf_tpu.models.marscf import MarScfConfig, MarScfFlow
+
+KEY = jax.random.PRNGKey(0)
+base = MarScfConfig(image_shape=(8, 8, 3), L=2, K=2, hidden_channels=8,
+                    coupling="mixlogcdf", use_attention=True, attn_heads=2,
+                    prior="gaussian")
+m0 = MarScfFlow(base)
+params = m0.init(KEY)
+x = jax.random.uniform(KEY, (4, 3, 8, 8)) - 0.5
+params = m0.ddi(params, x, jax.random.PRNGKey(2))
+k = jax.random.PRNGKey(3)
+
+def nll_mean(m):
+    def f(p):
+        _, nll = m.forward(p, x, rng=k, train=True)
+        return jnp.mean(nll)
+    return f
+
+v0, g0 = jax.value_and_grad(nll_mean(m0))(params)
+m1 = MarScfFlow(replace(base, scan_split_transpose=True))
+v1, g1 = jax.value_and_grad(nll_mean(m1))(params)
+np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
+                           rtol=1e-5, atol=1e-6)
+for l0, l1 in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                               rtol=1e-4, atol=1e-5)
+print("SPLIT_TRANSPOSE_OK")
+"""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # private, empty cache dir: never read the shared suite cache
+    env["JAX_COMPILATION_CACHE_DIR"] = str(tmp_path / "jax_cache")
+    res = subprocess.run([sys.executable, "-c", script], env=env,
+                         capture_output=True, text=True, timeout=900,
+                         cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))))
+    assert res.returncode == 0, (
+        f"subprocess failed rc={res.returncode}\n"
+        f"stdout:\n{res.stdout}\nstderr:\n{res.stderr[-4000:]}")
+    assert "SPLIT_TRANSPOSE_OK" in res.stdout
+
+
+def test_imagenet64_shapes_end_to_end():
+    """64x64 generalization pin (r3 VERDICT item 8): the reference prior is
+    HARD-CODED to 32x32 (marscf_main.py:147-148 / corr_prior.py); this build
+    parameterizes it. Exercise the 64x64 shape row end to end on tiny
+    channels: L=3 forward bits/dim (prior kernel-size/dilation rows 0-2,
+    32x32-patch attention at level 0) + ancestral sampling round."""
+    cfg = MarScfConfig(image_shape=(64, 64, 3), L=3, K=1, hidden_channels=8,
+                       coupling="mixlogcdf", num_blocks=1, num_components=2,
+                       use_attention=True, attn_heads=2,
+                       prior="convlstm", prior_hidden=8, prior_layers=1)
+    model = MarScfFlow(cfg)
+    params = model.init(KEY)
+    x = jax.random.uniform(KEY, (2, 3, 64, 64)) - 0.5
+    params = model.ddi(params, x, jax.random.PRNGKey(2))
+    z, nll = jax.jit(lambda p, xx, r: model.forward(p, xx, rng=r))(
+        params, x, jax.random.PRNGKey(3))
+    # L=3 squeezes: 64 -> 8 spatial, channels 3*4^3 / 2^(L-1) halvings
+    assert z.shape[2:] == (8, 8), z.shape
+    assert np.all(np.isfinite(np.asarray(nll)))
+    assert float(jnp.mean(nll)) < 50.0
+
+    imgs = jax.jit(lambda p, r: model.sample(p, r, batch=2, eps_std=0.7))(
+        params, jax.random.PRNGKey(4))
+    assert imgs.shape == (2, 3, 64, 64), imgs.shape
+    assert np.all(np.isfinite(np.asarray(imgs)))
