@@ -67,6 +67,10 @@ class RRDBConfig:
     stack_blocks: Tuple[int, ...] = ()  # network_G.flow.stackRRDB.blocks
     fea_up0: bool = False
     fea_up_n1: bool = False  # fea_up-1
+    # "bfloat16": the whole encoder runs on the MXU in bf16 (pure
+    # conditioning features, no logdet math); outputs are cast back to fp32
+    # at the feature-dict boundary.
+    compute_dtype: str = "float32"
 
 
 class ResidualDenseBlock5C:
@@ -129,6 +133,12 @@ class RRDBNet:
 
     def apply(self, params, x, get_steps: bool = False):
         cfg = self.cfg
+        if cfg.compute_dtype == "bfloat16":
+            from jax.ad_checkpoint import checkpoint_name
+            x = x.astype(jnp.bfloat16)
+            params = jax.tree.map(
+                lambda a: checkpoint_name(a.astype(jnp.bfloat16), "wcast"),
+                params)
         fea = conv2d(x, params["conv_first"]["w"], params["conv_first"]["b"])
         block_results = {}
         for idx, (blk, bp) in enumerate(zip(self.blocks, params["blocks"])):
@@ -159,6 +169,12 @@ class RRDBNet:
         if cfg.fea_up_n1:
             results["fea_up-1"] = _resize(last_lr_fea, 0.25, "bilinear")
 
+        if cfg.compute_dtype == "bfloat16":
+            # fp32 at the conditioning boundary: the flow's affine heads and
+            # logdet math stay full-precision
+            results = {k: v.astype(jnp.float32) for k, v in results.items()}
+            block_results = {k: v.astype(jnp.float32)
+                             for k, v in block_results.items()}
         if get_steps:
             results.update(block_results)
             return results

@@ -60,13 +60,20 @@ class NonLUInvConv:
 # Conditional affine coupling (FlowAffineCouplingsAblation.py:25-135)
 # --------------------------------------------------------------------------
 class _FNet:
-    """Conv2d(3x3,+actnorm) -> relu -> [Conv2d(1x1,+actnorm) -> relu] -> Conv2dZeros."""
+    """Conv2d(3x3,+actnorm) -> relu -> [Conv2d(1x1,+actnorm) -> relu] -> Conv2dZeros.
 
-    def __init__(self, in_ch, out_ch, hidden_ch, kernel_hidden=1, n_hidden=1):
+    compute_dtype=bfloat16 runs the hidden convs on the MXU in bf16 (weights
+    and activations cast at entry, fp32 accumulation native to the MXU); the
+    zero-init out head producing scale/shift stays fp32 — same precision
+    discipline as the flagship coupling nets (ops/mixlogcdf.py)."""
+
+    def __init__(self, in_ch, out_ch, hidden_ch, kernel_hidden=1, n_hidden=1,
+                 compute_dtype=None):
         self.layers = [Conv2d(in_ch, hidden_ch, 3)]
         for _ in range(n_hidden):
             self.layers.append(Conv2d(hidden_ch, hidden_ch, kernel_hidden))
         self.out = Conv2dZeros(hidden_ch, out_ch, 3)
+        self.compute_dtype = compute_dtype
 
     def init(self, key):
         ks = jax.random.split(key, len(self.layers) + 1)
@@ -74,9 +81,18 @@ class _FNet:
                 "out": self.out.init(ks[-1])}
 
     def apply(self, params, x):
-        for l, p in zip(self.layers, params["hidden"]):
+        dt = self.compute_dtype
+        if dt is not None:
+            from jax.ad_checkpoint import checkpoint_name
+            x = x.astype(dt)
+            hidden = [
+                {k: checkpoint_name(v.astype(dt), "wcast") for k, v in p.items()}
+                for p in params["hidden"]]
+        else:
+            hidden = params["hidden"]
+        for l, p in zip(self.layers, hidden):
             x = jax.nn.relu(l.apply(p, x))
-        return self.out.apply(params["out"], x)
+        return self.out.apply(params["out"], x.astype(jnp.float32))
 
     def ddi(self, params, x):
         hidden = []
@@ -96,14 +112,16 @@ class CondAffineSeparatedAndCond:
     need_features = True
 
     def __init__(self, in_channels: int, in_channels_rrdb: int,
-                 hidden_channels: int = 64, affine_eps: float = 1e-4):
+                 hidden_channels: int = 64, affine_eps: float = 1e-4,
+                 compute_dtype=None):
         self.in_ch = in_channels
         self.ch_nn = in_channels // 2
         self.ch_co = in_channels - self.ch_nn
         self.eps = affine_eps
         self.f_affine = _FNet(self.ch_nn + in_channels_rrdb, self.ch_co * 2,
-                              hidden_channels)
-        self.f_features = _FNet(in_channels_rrdb, in_channels * 2, hidden_channels)
+                              hidden_channels, compute_dtype=compute_dtype)
+        self.f_features = _FNet(in_channels_rrdb, in_channels * 2,
+                                hidden_channels, compute_dtype=compute_dtype)
 
     def init(self, key):
         k1, k2 = jax.random.split(key)
@@ -212,13 +230,15 @@ class SRFlowStep:
     def __init__(self, in_channels: int, *, coupling: str, in_channels_rrdb: int,
                  hidden_channels: int = 64, actnorm_scale: float = 1.0,
                  use_attention: bool = True, attn_heads: int = 5,
-                 attn_score: str = "softmax", affine_eps: float = 1e-4):
+                 attn_score: str = "softmax", affine_eps: float = 1e-4,
+                 compute_dtype=None):
         self.actnorm = ActNorm(in_channels, actnorm_scale)
         self.invconv = NonLUInvConv(in_channels)
         self.coupling_type = coupling
         if coupling == "CondAffineSeparatedAndCond":
             self.affine = CondAffineSeparatedAndCond(
-                in_channels, in_channels_rrdb, hidden_channels, affine_eps)
+                in_channels, in_channels_rrdb, hidden_channels, affine_eps,
+                compute_dtype=compute_dtype)
         elif coupling == "noCoupling":
             self.affine = None
         else:
@@ -313,6 +333,14 @@ class SRFlowConfig:
     # TPU compilation/memory controls (see MarScfConfig)
     scan_steps: bool = True
     remat: bool = True
+    # named-save remat policy for the K-step scan checkpoint ("" = recompute
+    # everything, the r3 default). "wcast" keeps the tiny bf16 weight casts
+    # (only populated when compute_dtype=bfloat16).
+    remat_save_names: str = ""
+    # "bfloat16" runs the RRDB encoder and the coupling hidden convs on the
+    # MXU in bf16 (fp32 scale/shift heads and logdet math) — the flagship
+    # mAR-SCF precision discipline ported to SRFlow (r3 VERDICT item 6).
+    compute_dtype: str = "float32"
 
 
 def level_to_name(scale: int) -> Dict[int, str]:
@@ -325,6 +353,10 @@ def level_to_name(scale: int) -> Dict[int, str]:
 
 
 class FlowUpsamplerNet:
+    @staticmethod
+    def _dt(cfg):
+        return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+
     def __init__(self, cfg: SRFlowConfig):
         self.cfg = cfg
         # conditioning width: nf per feature + nf per stacked block when
@@ -349,14 +381,16 @@ class FlowUpsamplerNet:
                                hidden_channels=cfg.hidden_channels,
                                use_attention=cfg.use_attention,
                                attn_heads=cfg.attn_heads,
-                               attn_score=cfg.attn_score), level))
+                               attn_score=cfg.attn_score,
+                               compute_dtype=self._dt(cfg)), level))
             cond_step = SRFlowStep(c, coupling=cfg.coupling,
                                    in_channels_rrdb=n_rrdb,
                                    hidden_channels=cfg.hidden_channels,
                                    use_attention=cfg.use_attention,
                                    attn_heads=cfg.attn_heads,
                                    attn_score=cfg.attn_score,
-                                   affine_eps=cfg.affine_eps)
+                                   affine_eps=cfg.affine_eps,
+                                   compute_dtype=self._dt(cfg))
             if cfg.scan_steps:
                 self.structure.append(("kscan", cond_step, level))
             else:
@@ -398,7 +432,11 @@ class FlowUpsamplerNet:
             return (z, logdet), None
 
         if self.cfg.remat:
-            body = jax.checkpoint(body)
+            policy = None
+            if self.cfg.remat_save_names:
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    *self.cfg.remat_save_names.split(","))
+            body = jax.checkpoint(body, policy=policy)
         (z, logdet), _ = jax.lax.scan(body, (z, logdet), stacked,
                                       reverse=inverse)
         return z, logdet
@@ -488,7 +526,8 @@ class SRFlowNet:
         self.rrdb = RRDBNet(RRDBConfig(
             in_nc=cfg.in_nc, out_nc=3, nf=cfg.rrdb_nf, nb=cfg.rrdb_nb,
             gc=cfg.rrdb_gc, scale=cfg.scale, stack_blocks=cfg.stack_blocks,
-            fea_up0=(cfg.scale <= 8), fea_up_n1=(cfg.scale == 4)))
+            fea_up0=(cfg.scale <= 8), fea_up_n1=(cfg.scale == 4),
+            compute_dtype=cfg.compute_dtype))
         self.flow = FlowUpsamplerNet(cfg)
         # the reference normalizes by H*W pixels, NOT C*H*W dims
         # (thops.pixels = size(2)*size(3), SRFlowNet_arch.py:88,112): its

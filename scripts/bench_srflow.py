@@ -26,13 +26,20 @@ def main():
 
     full = os.environ.get("BENCH_FULL", "0") == "1"
     batch = int(os.environ.get("BENCH_BATCH", 16 if full else 16))
+    # r4 levers (docs/BENCHMARKS.md SRFlow perf pass): bf16 compute path
+    # (RRDB + coupling hiddens on the MXU in bf16) and named-save remat
+    dtype = os.environ.get("BENCH_DTYPE", "float32")
+    save_names = os.environ.get("BENCH_SAVE_NAMES", "")
+    extra = dict(compute_dtype=dtype, remat_save_names=save_names)
+    dtag = "_bf16" if dtype == "bfloat16" else ""
     if full:
-        cfg = SRFlowConfig(scale=4, hr_size=160, K=16, L=3, rrdb_nb=23)
-        tag = "srflow_160px_K16_nb23"
+        cfg = SRFlowConfig(scale=4, hr_size=160, K=16, L=3, rrdb_nb=23,
+                           **extra)
+        tag = f"srflow_160px_K16_nb23{dtag}"
     else:
         cfg = SRFlowConfig(scale=4, hr_size=80, K=8, L=3, rrdb_nb=8,
-                           stack_blocks=(1, 4, 7))
-        tag = "srflow_80px_K8_nb8"
+                           stack_blocks=(1, 4, 7), **extra)
+        tag = f"srflow_80px_K8_nb8{dtag}"
 
     model = SRFlowNet(cfg)
     params = to_default_device(init_on_cpu(model.init, jax.random.PRNGKey(0)))

@@ -210,3 +210,35 @@ def test_lrhr_kpi_sampling():
     ds.print_and_reset("train_data", log_fn=lines.append)
     assert lines and lines[0].startswith("[KPI] train_data:")
     assert ds.measures is None
+
+
+def test_srflow_bf16_compute_close_to_fp32():
+    """compute_dtype=bfloat16 (RRDB encoder + coupling hidden convs on the
+    MXU in bf16, fp32 heads/logdet — r4 SRFlow perf lever) must track the
+    fp32 nll closely and keep grads finite; the remat_save_names="wcast"
+    policy must not change values."""
+    cfg32 = small_cfg()
+    cfg16 = small_cfg(compute_dtype="bfloat16", remat_save_names="wcast")
+    m32, m16 = SRFlowNet(cfg32), SRFlowNet(cfg16)
+    params = m32.init(KEY)
+    hr = jax.random.uniform(KEY, (2, 3, 32, 32))
+    lr = jax.random.uniform(jax.random.PRNGKey(1), (2, 3, 8, 8))
+    k = jax.random.PRNGKey(2)
+
+    _, nll32, _ = m32.forward(params, hr, lr, rng=k)
+    _, nll16, _ = m16.forward(params, hr, lr, rng=k)
+    assert np.all(np.isfinite(np.asarray(nll16)))
+    # bf16 hidden activations shift the conditioning features slightly;
+    # bits/px must stay within ~1% of fp32
+    np.testing.assert_allclose(np.asarray(nll16), np.asarray(nll32),
+                               rtol=0.02, atol=0.05)
+
+    def loss16(p):
+        _, nll, _ = m16.forward(p, hr, lr, rng=k, train=True)
+        return jnp.mean(nll)
+
+    g = jax.grad(loss16)(params)
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in jax.tree.leaves(g))
+
+    sr, _ = m16.reverse(params, lr, rng=jax.random.PRNGKey(3), eps_std=0.8)
+    assert np.all(np.isfinite(np.asarray(sr)))

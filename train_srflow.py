@@ -40,6 +40,11 @@ def build_from_opt(opt, max_steps=None):
         noise_quant=bool(opt_get(opt, ["network_G", "flow", "augmentation",
                                        "noiseQuant"], True)),
         train_rrdb_delay=opt_get(opt, ["network_G", "train_RRDB_delay"], 0.5),
+        # TPU extras (no reference key): bf16 compute path + named-save remat
+        compute_dtype=opt_get(opt, ["network_G", "flow", "compute_dtype"],
+                              "float32") or "float32",
+        remat_save_names=opt_get(opt, ["network_G", "flow",
+                                       "remat_save_names"], "") or "",
     )
     train = opt.get("train") or {}
     train_cfg = SRTrainConfig(
