@@ -43,9 +43,14 @@ BLK = 128
 DIAG_REF_SLICE = True
 
 
-def _dot(x, y):
+def _dot(x, y, precision=None):
     return jnp.dot(x, y, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=precision or jax.lax.Precision.HIGHEST)
+
+
+_PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,
+               "high": jax.lax.Precision.HIGH,
+               "default": jax.lax.Precision.DEFAULT}
 
 
 def _panel_cholesky(p):
@@ -272,7 +277,7 @@ def _hbm_panel_width(n: int) -> int:
 
 
 def _hbm_chol_kernel(a_hbm, out_hbm, panel, kcol, dscr, sem_p, sem_k, sem_s,
-                     *, n, P):
+                     *, n, P, trailing_precision="highest"):
     """Left-looking panel factorization, matrix resident in HBM.
 
     The block-column loop j is a STATIC Python loop (nb is known at trace
@@ -319,7 +324,13 @@ def _hbm_chol_kernel(a_hbm, out_hbm, panel, kcol, dscr, sem_p, sem_k, sem_s,
             # one dot updates the diag block AND everything below it:
             # kr = L[s:s+P, k]^T is rows [0:P] of the streamed block
             kr = kcol[slot, 0:P, :]
-            panel[0:m, :] = panel[0:m, :] - _dot(kcol[slot, 0:m, :], kr.T)
+            # the trailing/Schur GEMM — the O(n^3/3) bulk. HIGHEST = 6
+            # bf16 MXU passes (exact fp32); "high" = 3 passes (bf16x3,
+            # ~1e-6 relative) at 2x the MXU rate. The panel factorization
+            # and solve below always stay HIGHEST: their error enters L
+            # directly rather than averaging out over the sum.
+            panel[0:m, :] = panel[0:m, :] - _dot(
+                kcol[slot, 0:m, :], kr.T, _PRECISIONS[trailing_precision])
 
         if j > 0:
             k_dma(0, 0).start()
@@ -363,14 +374,22 @@ def _hbm_chol_kernel(a_hbm, out_hbm, panel, kcol, dscr, sem_p, sem_k, sem_s,
         cp.wait()
 
 
-@partial(jax.jit, static_argnames=("panel_width", "interpret"))
+@partial(jax.jit, static_argnames=("panel_width", "interpret",
+                                   "trailing_precision"))
 def pallas_cholesky_hbm(a: jax.Array, *, panel_width: int | None = None,
-                        interpret: bool = False) -> jax.Array:
+                        interpret: bool = False,
+                        trailing_precision: str = "highest") -> jax.Array:
     """Lower-Cholesky with the matrix streamed from HBM (n = 2k..16k).
 
     Requires n % P == 0 for the auto panel width P (256/128/64 by n) — use
     `cholesky_blocked`, which pads, as the front end. `panel_width` and
     `interpret` exist for small-shape interpreter-mode tests.
+
+    trailing_precision="high" runs the left-looking trailing GEMMs as
+    3-pass bf16x3 (2x MXU rate vs the 6-pass exact-fp32 HIGHEST) while the
+    panel factorization/solve stay HIGHEST — the mixed-precision mode for
+    the n>=4096 regime where the trailing GEMM dominates; expect ~1e-6
+    relative residual growth (measured by scripts/bench_cholesky.py).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -379,7 +398,8 @@ def pallas_cholesky_hbm(a: jax.Array, *, panel_width: int | None = None,
     P = panel_width or _hbm_panel_width(n)
     assert n % P == 0, (n, P)
     l = pl.pallas_call(
-        partial(_hbm_chol_kernel, n=n, P=P),
+        partial(_hbm_chol_kernel, n=n, P=P,
+                trailing_precision=trailing_precision),
         out_shape=jax.ShapeDtypeStruct(a.shape, a.dtype),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),

@@ -78,6 +78,19 @@ def main():
                 impls["pallas_fused"] = jax.jit(pallas_cholesky)
             if 2048 <= n <= 4096:
                 impls["pallas_hbm"] = jax.jit(pallas_cholesky_hbm)
+                # mixed precision: trailing GEMMs at 3-pass bf16x3 (2x MXU
+                # rate), panel/diag HIGHEST — the r4 lever for the n>=4096
+                # regime where XLA's near-peak trailing GEMMs win
+                impls["pallas_hbm_mixed"] = jax.jit(
+                    lambda m: pallas_cholesky_hbm(m,
+                                                  trailing_precision="high"))
+            if n == 4096:
+                # wider panel under the 64 MB scoped budget
+                impls["pallas_hbm_P512"] = jax.jit(
+                    lambda m: pallas_cholesky_hbm(m, panel_width=512))
+                impls["pallas_hbm_mixed_P512"] = jax.jit(
+                    lambda m: pallas_cholesky_hbm(m, panel_width=512,
+                                                  trailing_precision="high"))
             if n > 4096:
                 # host-level recursion (5 async dispatches/level); cannot
                 # run under an outer jit (remote-compile payload limit)

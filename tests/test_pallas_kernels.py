@@ -167,3 +167,25 @@ def test_cholesky_blocked_grad_n4096():
     g2 = jax.grad(f_native)(a)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=5e-3,
                                atol=1e-5)
+
+
+def test_hbm_cholesky_mixed_precision_interpret():
+    """trailing_precision='high' (3-pass bf16x3 trailing GEMMs) must stay a
+    valid factorization; in interpreter mode on CPU the dots run fp32, so
+    this pins the code path and the residual contract, and the TPU residual
+    is measured by scripts/bench_cholesky.py."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpnf_tpu.ops.pallas.cholesky import pallas_cholesky_hbm
+
+    rng = np.random.default_rng(3)
+    n = 192
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    spd = jnp.asarray(a @ a.T + n * np.eye(n, dtype=np.float32))
+    l = pallas_cholesky_hbm(spd, panel_width=64, interpret=True,
+                            trailing_precision="high")
+    want = jnp.linalg.cholesky(spd)
+    np.testing.assert_allclose(np.asarray(l), np.asarray(want),
+                               rtol=2e-4, atol=2e-3)
