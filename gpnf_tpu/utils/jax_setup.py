@@ -42,6 +42,19 @@ def setup(cache_dir: str | None = None, prng_impl: str | None = "rbg"):
     (~24% of a train step at batch 256; rbg recovers a third of it). Same
     distributions, different stream — pass None to keep jax's default.
     """
+    if os.environ.get("GPNF_FORCE_CPU", "0") == "1":
+        # run the drive on the host CPU (the axon plugin overrides
+        # JAX_PLATFORMS, so this must go through jax.config BEFORE backend
+        # init). Used when the TPU is held by another client — two
+        # concurrent tunnel clients deadlock (CLAUDE.md).
+        cache_dir = cache_dir or os.environ.get(
+            "GPNF_JAX_CACHE", "/tmp/gpnf_jax_cache_cpu")
+        try:
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_num_cpu_devices",
+                              int(os.environ.get("GPNF_CPU_DEVICES", "1")))
+        except RuntimeError:
+            pass
     cache_dir = cache_dir or os.environ.get("GPNF_JAX_CACHE", "/tmp/gpnf_jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -104,12 +104,21 @@ def capture(steps: int, trace_dir: str):
                        coupling="mixlogcdf", compute_dtype="bfloat16",
                        remat=os.environ.get("BENCH_REMAT", "1") == "1",
                        remat_mode=os.environ.get("BENCH_REMAT_MODE", "body"),
+                       scan_unroll=int(os.environ.get("BENCH_SCAN_UNROLL", 1)),
+                       precompute_wn=os.environ.get(
+                           "BENCH_PRECOMPUTE_WN", "0") == "1",
+                       remat_save_names=os.environ.get(
+                           "BENCH_SAVE_NAMES", "remat_ckpt,wcast,attn_out"),
                        prior=os.environ.get("BENCH_PRIOR", "convlstm"),
                        num_blocks=10, use_attention=True, drop_prob=0.2)
     model = MarScfFlow(cfg)
     rng = jax.random.PRNGKey(0)
     params = to_default_device(init_on_cpu(model.init, rng))
     opt = optax.adamax(1e-4)
+    if os.environ.get("BENCH_FLAT_OPT", "small") == "small":
+        # match the production/headline optimizer layout
+        from gpnf_tpu.training.optim import flatten_small
+        opt = flatten_small(opt, params)
     opt_state = to_default_device(init_on_cpu(opt.init, params))
     step = make_train_step(bits_per_dim_loss(model), opt, mesh=None, donate=True)
     x = jax.random.uniform(jax.random.PRNGKey(1), (batch, 3, 32, 32)) - 0.5
