@@ -35,25 +35,32 @@ def _lrelu(x):
     return jax.nn.leaky_relu(x, 0.2)
 
 
-def nearest_resize(x, h_out: int, w_out: int):
+def nearest_resize(x, h_out: int, w_out: int, layout: str = "NCHW"):
     """Nearest resize with torch F.interpolate semantics: src index =
     floor(dst * in / out) (asymmetric origin, NOT half-pixel rounding —
     jax.image.resize differs on downsampling). Pure gather, up or down."""
-    h_in, w_in = x.shape[2], x.shape[3]
+    ah, aw = (2, 3) if layout == "NCHW" else (1, 2)
+    h_in, w_in = x.shape[ah], x.shape[aw]
     rows = jnp.asarray((jnp.arange(h_out) * h_in) // h_out)
     cols = jnp.asarray((jnp.arange(w_out) * w_in) // w_out)
-    return x[:, :, rows[:, None], cols[None, :]]
+    if layout == "NCHW":
+        return x[:, :, rows[:, None], cols[None, :]]
+    return x[:, rows[:, None], cols[None, :], :]
 
 
-def _resize(x, factor, method):
-    b, c, h, w = x.shape
+def _resize(x, factor, method, layout: str = "NCHW"):
+    if layout == "NCHW":
+        b, c, h, w = x.shape
+    else:
+        b, h, w, c = x.shape
     h2, w2 = int(round(h * factor)), int(round(w * factor))
     if method == "nearest":
-        return nearest_resize(x, h2, w2)
+        return nearest_resize(x, h2, w2, layout)
     # antialias=False matches torch F.interpolate(mode='bilinear',
     # align_corners=False) downsampling (RRDBNet_arch.py:136-141); jax's
     # default antialiased kernel does not.
-    return jax.image.resize(x, (b, c, h2, w2), method=method, antialias=False)
+    shape = (b, c, h2, w2) if layout == "NCHW" else (b, h2, w2, c)
+    return jax.image.resize(x, shape, method=method, antialias=False)
 
 
 @dataclass(frozen=True)
@@ -85,12 +92,13 @@ class ResidualDenseBlock5C:
         return {f"conv{i+1}": _conv_init(ks[i], gc if i < 4 else nf, nf + i * gc)
                 for i in range(5)}
 
-    def apply(self, p, x):
-        x1 = _lrelu(conv2d(x, p["conv1"]["w"], p["conv1"]["b"]))
-        x2 = _lrelu(conv2d(jnp.concatenate([x, x1], 1), p["conv2"]["w"], p["conv2"]["b"]))
-        x3 = _lrelu(conv2d(jnp.concatenate([x, x1, x2], 1), p["conv3"]["w"], p["conv3"]["b"]))
-        x4 = _lrelu(conv2d(jnp.concatenate([x, x1, x2, x3], 1), p["conv4"]["w"], p["conv4"]["b"]))
-        x5 = conv2d(jnp.concatenate([x, x1, x2, x3, x4], 1), p["conv5"]["w"], p["conv5"]["b"])
+    def apply(self, p, x, layout: str = "NCHW"):
+        ax = 1 if layout == "NCHW" else 3
+        x1 = _lrelu(conv2d(x, p["conv1"]["w"], p["conv1"]["b"], layout=layout))
+        x2 = _lrelu(conv2d(jnp.concatenate([x, x1], ax), p["conv2"]["w"], p["conv2"]["b"], layout=layout))
+        x3 = _lrelu(conv2d(jnp.concatenate([x, x1, x2], ax), p["conv3"]["w"], p["conv3"]["b"], layout=layout))
+        x4 = _lrelu(conv2d(jnp.concatenate([x, x1, x2, x3], ax), p["conv4"]["w"], p["conv4"]["b"], layout=layout))
+        x5 = conv2d(jnp.concatenate([x, x1, x2, x3, x4], ax), p["conv5"]["w"], p["conv5"]["b"], layout=layout)
         return x5 * 0.2 + x
 
 
@@ -103,10 +111,10 @@ class RRDBlock:
         return {"rdb1": self.rdbs[0].init(ks[0]), "rdb2": self.rdbs[1].init(ks[1]),
                 "rdb3": self.rdbs[2].init(ks[2])}
 
-    def apply(self, p, x):
-        out = self.rdbs[0].apply(p["rdb1"], x)
-        out = self.rdbs[1].apply(p["rdb2"], out)
-        out = self.rdbs[2].apply(p["rdb3"], out)
+    def apply(self, p, x, layout: str = "NCHW"):
+        out = self.rdbs[0].apply(p["rdb1"], x, layout)
+        out = self.rdbs[1].apply(p["rdb2"], out, layout)
+        out = self.rdbs[2].apply(p["rdb3"], out, layout)
         return out * 0.2 + x
 
 
@@ -133,19 +141,26 @@ class RRDBNet:
 
     def apply(self, params, x, get_steps: bool = False):
         cfg = self.cfg
-        if cfg.compute_dtype == "bfloat16":
+        bf16 = cfg.compute_dtype == "bfloat16"
+        lo = "NHWC" if bf16 else "NCHW"
+        if bf16:
+            # bf16 AND channel-last together: one transpose pair around the
+            # whole encoder; bf16 NCHW convs measured SLOWER than fp32 on
+            # TPU (docs/BENCHMARKS.md r4 SRFlow A/B)
             from jax.ad_checkpoint import checkpoint_name
-            x = x.astype(jnp.bfloat16)
+            x = x.astype(jnp.bfloat16).transpose(0, 2, 3, 1)
             params = jax.tree.map(
                 lambda a: checkpoint_name(a.astype(jnp.bfloat16), "wcast"),
                 params)
-        fea = conv2d(x, params["conv_first"]["w"], params["conv_first"]["b"])
+        fea = conv2d(x, params["conv_first"]["w"], params["conv_first"]["b"],
+                     layout=lo)
         block_results = {}
         for idx, (blk, bp) in enumerate(zip(self.blocks, params["blocks"])):
-            fea = blk.apply(bp, fea)
+            fea = blk.apply(bp, fea, lo)
             if idx in cfg.stack_blocks:
                 block_results[f"block_{idx}"] = fea
-        trunk = conv2d(fea, params["trunk_conv"]["w"], params["trunk_conv"]["b"])
+        trunk = conv2d(fea, params["trunk_conv"]["w"],
+                       params["trunk_conv"]["b"], layout=lo)
         last_lr_fea = fea + trunk
 
         results: Dict[str, jax.Array] = {
@@ -154,27 +169,30 @@ class RRDBNet:
         }
         fea = last_lr_fea
         for i, up in enumerate(params["upconvs"]):
-            fea_up = conv2d(_resize(fea, 2, "nearest"), up["w"], up["b"])
+            fea_up = conv2d(_resize(fea, 2, "nearest", lo), up["w"], up["b"],
+                            layout=lo)
             fea = _lrelu(fea_up)
             # the reference's inplace LeakyReLU (RRDBNet_arch.py:88,106-119)
             # mutates the stored fea_upN AFTER it enters the results dict, so
             # the flow conditions on the POST-lrelu tensor; replicated here.
             results[f"fea_up{2 ** (i + 1)}"] = fea
-        out = conv2d(_lrelu(conv2d(fea, params["hr_conv"]["w"], params["hr_conv"]["b"])),
-                     params["conv_last"]["w"], params["conv_last"]["b"])
+        out = conv2d(_lrelu(conv2d(fea, params["hr_conv"]["w"],
+                                   params["hr_conv"]["b"], layout=lo)),
+                     params["conv_last"]["w"], params["conv_last"]["b"],
+                     layout=lo)
         results["out"] = out
 
         if cfg.fea_up0:
-            results["fea_up0"] = _resize(last_lr_fea, 0.5, "bilinear")
+            results["fea_up0"] = _resize(last_lr_fea, 0.5, "bilinear", lo)
         if cfg.fea_up_n1:
-            results["fea_up-1"] = _resize(last_lr_fea, 0.25, "bilinear")
+            results["fea_up-1"] = _resize(last_lr_fea, 0.25, "bilinear", lo)
 
-        if cfg.compute_dtype == "bfloat16":
-            # fp32 at the conditioning boundary: the flow's affine heads and
-            # logdet math stay full-precision
-            results = {k: v.astype(jnp.float32) for k, v in results.items()}
-            block_results = {k: v.astype(jnp.float32)
-                             for k, v in block_results.items()}
+        if bf16:
+            # fp32 NCHW at the conditioning boundary (once per train step —
+            # the flow's affine heads and logdet math stay full-precision)
+            back = lambda v: v.astype(jnp.float32).transpose(0, 3, 1, 2)
+            results = {k: back(v) for k, v in results.items()}
+            block_results = {k: back(v) for k, v in block_results.items()}
         if get_steps:
             results.update(block_results)
             return results

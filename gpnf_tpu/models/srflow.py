@@ -83,16 +83,24 @@ class _FNet:
     def apply(self, params, x):
         dt = self.compute_dtype
         if dt is not None:
+            # bf16 AND channel-last together: bf16 NCHW convs measured
+            # SLOWER than fp32 on TPU (443 -> 367 device img/s, r4 A/B) —
+            # XLA's conv relayouts dominate; one transpose pair around the
+            # whole net beats per-conv operand transposes (the mAR-SCF r2
+            # NHWC lesson, docs/BENCHMARKS.md).
             from jax.ad_checkpoint import checkpoint_name
-            x = x.astype(dt)
+            x = x.astype(dt).transpose(0, 2, 3, 1)
             hidden = [
                 {k: checkpoint_name(v.astype(dt), "wcast") for k, v in p.items()}
                 for p in params["hidden"]]
-        else:
-            hidden = params["hidden"]
-        for l, p in zip(self.layers, hidden):
+            for l, p in zip(self.layers, hidden):
+                x = jax.nn.relu(l.apply(p, x, layout="NHWC"))
+            y = self.out.apply(params["out"], x.astype(jnp.float32),
+                               layout="NHWC")
+            return y.transpose(0, 3, 1, 2)
+        for l, p in zip(self.layers, params["hidden"]):
             x = jax.nn.relu(l.apply(p, x))
-        return self.out.apply(params["out"], x.astype(jnp.float32))
+        return self.out.apply(params["out"], x)
 
     def ddi(self, params, x):
         hidden = []

@@ -78,12 +78,13 @@ class Conv2d:
             p["b"] = jnp.zeros((self.out_ch,))
         return p
 
-    def apply(self, params, x):
+    def apply(self, params, x, layout: str = "NCHW"):
+        cshape = (1, -1, 1, 1) if layout == "NCHW" else (1, 1, 1, -1)
         if self.do_actnorm:
-            y = conv2d(x, params["w"])
-            return (y + params["an_bias"].reshape(1, -1, 1, 1)) * jnp.exp(
-                params["an_logs"]).reshape(1, -1, 1, 1)
-        return conv2d(x, params["w"], params["b"])
+            y = conv2d(x, params["w"], layout=layout)
+            return (y + params["an_bias"].reshape(cshape)) * jnp.exp(
+                params["an_logs"]).reshape(cshape)
+        return conv2d(x, params["w"], params["b"], layout=layout)
 
     def ddi(self, params, x, eps: float = 1e-6):
         """Data-dependent init of the fused actnorm (mirrors Actnormlayer init)."""
@@ -116,9 +117,10 @@ class Conv2dZeros:
             "logs": jnp.zeros((self.out_ch,)),
         }
 
-    def apply(self, params, x):
-        y = conv2d(x, params["w"], params["b"])
-        return y * jnp.exp(params["logs"] * self.logscale_factor).reshape(1, -1, 1, 1)
+    def apply(self, params, x, layout: str = "NCHW"):
+        cshape = (1, -1, 1, 1) if layout == "NCHW" else (1, 1, 1, -1)
+        y = conv2d(x, params["w"], params["b"], layout=layout)
+        return y * jnp.exp(params["logs"] * self.logscale_factor).reshape(cshape)
 
 
 # ---------------------------------------------------------------------------

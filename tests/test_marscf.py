@@ -365,3 +365,31 @@ def test_imagenet64_shapes_end_to_end():
         params, jax.random.PRNGKey(4))
     assert imgs.shape == (2, 3, 64, 64), imgs.shape
     assert np.all(np.isfinite(np.asarray(imgs)))
+
+
+def test_noattn_full_unroll_matches_default_grads():
+    """The r4 headline mode — remat_mode='noattn' x FULL K-scan unroll
+    (docs/BENCHMARKS.md round-4 sweep: 1096 vs 997 img/s) — must be a pure
+    rescheduling: loss and grads match the default body-remat rolled scan."""
+    from dataclasses import replace
+    base = tiny_cfg(coupling="mixlogcdf", K=2, use_attention=True)
+    m0 = MarScfFlow(base)
+    params = m0.init(KEY)
+    x = _data(4)
+    params = m0.ddi(params, x, jax.random.PRNGKey(2))
+    k = jax.random.PRNGKey(3)
+
+    def nll_mean(m):
+        def f(p):
+            _, nll = m.forward(p, x, rng=k, train=True)
+            return jnp.mean(nll)
+        return f
+
+    v0, g0 = jax.value_and_grad(nll_mean(m0))(params)
+    m1 = MarScfFlow(replace(base, remat_mode="noattn", scan_unroll=2))
+    v1, g1 = jax.value_and_grad(nll_mean(m1))(params)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
+                               rtol=1e-5, atol=1e-6)
+    for l0, l1 in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                                   rtol=1e-4, atol=1e-5)
