@@ -48,9 +48,18 @@ def _dot(x, y, precision=None):
                    precision=precision or jax.lax.Precision.HIGHEST)
 
 
-_PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,
-               "high": jax.lax.Precision.HIGH,
-               "default": jax.lax.Precision.DEFAULT}
+def _dot_bf16x3(x, y):
+    """3-pass bf16x3 fp32-accurate-ish dot: hi/lo split each operand into
+    bf16 halves, drop the lo*lo term (~2^-16 relative). Mosaic rejects
+    Precision.HIGH inside kernels, so the expansion is explicit; each term
+    is a single-pass bf16 MXU dot with fp32 accumulation — 3 passes total
+    vs HIGHEST's 6."""
+    xh = x.astype(jnp.bfloat16)
+    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+    yh = y.astype(jnp.bfloat16)
+    yl = (y - yh.astype(jnp.float32)).astype(jnp.bfloat16)
+    d = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+    return d(xh, yh) + d(xh, yl) + d(xl, yh)
 
 
 def _panel_cholesky(p):
@@ -329,8 +338,11 @@ def _hbm_chol_kernel(a_hbm, out_hbm, panel, kcol, dscr, sem_p, sem_k, sem_s,
             # ~1e-6 relative) at 2x the MXU rate. The panel factorization
             # and solve below always stay HIGHEST: their error enters L
             # directly rather than averaging out over the sum.
-            panel[0:m, :] = panel[0:m, :] - _dot(
-                kcol[slot, 0:m, :], kr.T, _PRECISIONS[trailing_precision])
+            if trailing_precision == "high":
+                upd = _dot_bf16x3(kcol[slot, 0:m, :], kr.T)
+            else:
+                upd = _dot(kcol[slot, 0:m, :], kr.T)
+            panel[0:m, :] = panel[0:m, :] - upd
 
         if j > 0:
             k_dma(0, 0).start()
