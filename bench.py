@@ -54,9 +54,9 @@ def main():
                        coupling="mixlogcdf",
                        compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
                        remat=os.environ.get("BENCH_REMAT", "1") == "1",
-                       remat_mode=os.environ.get("BENCH_REMAT_MODE", "body"),
+                       remat_mode=os.environ.get("BENCH_REMAT_MODE", "noattn"),
                        scan_steps=os.environ.get("BENCH_SCAN", "1") == "1",
-                       scan_unroll=int(os.environ.get("BENCH_SCAN_UNROLL", 1)),
+                       scan_unroll=int(os.environ.get("BENCH_SCAN_UNROLL", 0)),
                        scan_split_transpose=os.environ.get(
                            "BENCH_SPLIT_TRANSPOSE", "0") == "1",
                        prior_scan_unroll=int(

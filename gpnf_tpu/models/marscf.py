@@ -64,10 +64,13 @@ class MarScfConfig:
     # on the backward pass.
     scan_steps: bool = True
     # lax.scan unroll factor for the K-step scan: >1 replicates the body at
-    # compile time, letting XLA elide the loop-carried stacking copies
-    # (~30 ms/step "copies" bucket, docs/BENCHMARKS.md r3 anatomy) at the
-    # cost of a K/unroll-times-larger program. 1 = rolled (default).
-    scan_unroll: int = 1
+    # compile time, 0 = FULL unroll (the default since r4): under the
+    # noattn remat mode below, fully unrolling eliminates the scan's
+    # residual stacking AND the named-save barriers at once — 1096 vs 997
+    # img/s on the flagship (docs/BENCHMARKS.md round-4 sweep). Partial
+    # unroll keeps the scan and LOSES (879 at unroll=2); under body-mode
+    # remat full unroll is merely flat (1000). 1 = rolled.
+    scan_unroll: int = 0
     # lax.scan _split_transpose for the K-step scan: splits the scan's
     # transpose (the backward) into a forward-replay scan plus a separate
     # gradient scan, which can reschedule the rematted-residual stacking
@@ -111,8 +114,10 @@ class MarScfConfig:
     # (bf16[256,256,96] saves moving at ~12 GB/s) + 25 ms remat wrappers —
     # the sub-checkpoints keep the no-remat OOM classes (fp32 mixture
     # params, conv-chain intermediates) out of HBM while dropping every
-    # named-save barrier.
-    remat_mode: str = "body"
+    # named-save barrier. DEFAULT since r4, paired with scan_unroll=0:
+    # noattn x full unroll is the 1096 img/s headline mode (the pair only
+    # wins together — see scan_unroll above).
+    remat_mode: str = "noattn"
     # "bfloat16" runs the coupling networks on the MXU in bf16 (log-det math
     # stays fp32); "float32" is the exact reference-precision path.
     compute_dtype: str = "float32"
@@ -306,9 +311,11 @@ class MarScfFlow:
             # _split_transpose is a private, unstable lax.scan kwarg; only the
             # opt-in experimental path may depend on it (ADVICE r3).
             scan_kwargs["_split_transpose"] = True
+        unroll = (True if self.cfg.scan_unroll == 0
+                  else max(1, self.cfg.scan_unroll))
         (z, logdet), _ = jax.lax.scan(
             body, (z, logdet), xs, reverse=inverse,
-            unroll=max(1, self.cfg.scan_unroll), **scan_kwargs)
+            unroll=unroll, **scan_kwargs)
         return z, logdet
 
     # -- density -------------------------------------------------------------

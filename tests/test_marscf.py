@@ -13,9 +13,12 @@ KEY = jax.random.PRNGKey(0)
 
 
 def tiny_cfg(**kw):
+    # pins remat_mode="body", scan_unroll=1 (the pre-r4 defaults) so the
+    # mode-equivalence A/Bs below compare distinct modes; the r4 production
+    # default (noattn + full unroll) is exercised by default_cfg()
     base = dict(image_shape=(8, 8, 3), L=2, K=1, hidden_channels=8,
                 coupling="affine", use_attention=True, attn_heads=2,
-                prior="gaussian")
+                prior="gaussian", remat_mode="body", scan_unroll=1)
     base.update(kw)
     return MarScfConfig(**base)
 
@@ -303,7 +306,7 @@ from gpnf_tpu.models.marscf import MarScfConfig, MarScfFlow
 KEY = jax.random.PRNGKey(0)
 base = MarScfConfig(image_shape=(8, 8, 3), L=2, K=2, hidden_channels=8,
                     coupling="mixlogcdf", use_attention=True, attn_heads=2,
-                    prior="gaussian")
+                    prior="gaussian", remat_mode="body", scan_unroll=1)
 m0 = MarScfFlow(base)
 params = m0.init(KEY)
 x = jax.random.uniform(KEY, (4, 3, 8, 8)) - 0.5
@@ -386,7 +389,7 @@ def test_noattn_full_unroll_matches_default_grads():
         return f
 
     v0, g0 = jax.value_and_grad(nll_mean(m0))(params)
-    m1 = MarScfFlow(replace(base, remat_mode="noattn", scan_unroll=2))
+    m1 = MarScfFlow(replace(base, remat_mode="noattn", scan_unroll=0))
     v1, g1 = jax.value_and_grad(nll_mean(m1))(params)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
                                rtol=1e-5, atol=1e-6)
