@@ -27,3 +27,30 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/gpnf_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 assert jax.default_backend() == "cpu", jax.default_backend()
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def no_compile_cache():
+    """Disable the persistent compile cache for a test.
+
+    The cache serialize/deserialize path (compilation_cache
+    get_executable_and_time / put_executable_and_time) deterministically
+    SEGFAULTS the interpreter when a large K-scan transpose program is
+    compiled late in suite order (r3 VERDICT; reproduced r4 at the
+    noattn-full-unroll grad test: 4/4 runs, exit 139, faulting in the
+    zstd (de)serialization both on read and on write). The crash never
+    reproduces standalone, so it is suite-sequence heap state, not a bad
+    entry; skipping the cache for the handful of scan-transpose grad
+    tests trades ~1-2 min of recompute for a suite that completes.
+    NOTE: updating jax_compilation_cache_dir alone does NOT work — the
+    cache object is memoized; the enable flag + reset_cache() is needed.
+    """
+    from jax._src import compilation_cache as cc
+    jax.config.update("jax_enable_compilation_cache", False)
+    cc.reset_cache()
+    yield
+    jax.config.update("jax_enable_compilation_cache", True)
+    cc.reset_cache()

@@ -188,7 +188,7 @@ def test_prior_scan_unroll_matches_rolled(unroll):
                                rtol=1e-6, atol=1e-6)
 
 
-def test_precompute_wn_matches_per_use():
+def test_precompute_wn_matches_per_use(no_compile_cache):
     """precompute_wn hoists weight normalization out of the K-step scan;
     forward NLL and v/g gradients must match the per-use path (same fp32
     norm + cast order, so bit-comparable)."""
@@ -249,7 +249,7 @@ def test_extended_save_names_match_default_grads():
                                        rtol=1e-5, atol=1e-6)
 
 
-def test_noattn_remat_mode_matches_body_grads():
+def test_noattn_remat_mode_matches_body_grads(no_compile_cache):
     """remat_mode="noattn" (sub-checkpointed conv/norm/head regions, plain
     attention residuals — models/marscf.py MarScfConfig) must produce the
     same loss and gradients as the default body-mode remat: checkpoint
@@ -370,7 +370,7 @@ def test_imagenet64_shapes_end_to_end():
     assert np.all(np.isfinite(np.asarray(imgs)))
 
 
-def test_noattn_full_unroll_matches_default_grads():
+def test_noattn_full_unroll_matches_default_grads(no_compile_cache):
     """The r4 headline mode — remat_mode='noattn' x FULL K-scan unroll
     (docs/BENCHMARKS.md round-4 sweep: 1096 vs 997 img/s) — must be a pure
     rescheduling: loss and grads match the default body-remat rolled scan."""
