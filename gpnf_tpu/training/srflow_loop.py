@@ -45,12 +45,35 @@ class SRTrainConfig:
 
 
 def _lr_schedule(cfg: SRTrainConfig, base_lr: float):
+    """Reference-exact MultiStep decay + warmup counting.
+
+    The reference steps the scheduler BEFORE each update with current_step
+    starting at 1 (train.py:184-192, base_model.py:69-81): update i
+    (1-based) runs at base * gamma^|{milestones <= i}|, overridden by
+    init * i / warmup while i < warmup_iter. optax evaluates schedules at
+    the COMPLETED-update count t = i - 1, hence the +1 below (pinned by
+    tests/test_optim.py::test_srflow_adam_schedule_lockstep_vs_torch).
+
+    Reference quirk kept for parity: the warmup override MUTATES the
+    param group's lr, and MultiStepLR_Restart's get_lr returns that
+    mutated value on non-milestone steps — so after warmup the base lr
+    stays at init*(warmup-1)/warmup forever, and milestones passed
+    DURING warmup leave no lasting effect.
+    """
     def sched(step):
-        lr = base_lr
-        for m in cfg.lr_steps:
-            lr = jnp.where(step >= m, lr * cfg.lr_gamma, lr)
+        i = step + 1  # reference current_step (1-based)
         if cfg.warmup_iter > 0:
-            lr = lr * jnp.minimum(1.0, (step + 1) / cfg.warmup_iter)
+            post = base_lr * (cfg.warmup_iter - 1) / cfg.warmup_iter
+        else:
+            post = base_lr
+        lr = post
+        for m in cfg.lr_steps:
+            if cfg.warmup_iter > 0 and m < cfg.warmup_iter:
+                continue  # decay overwritten by the warmup override
+            lr = jnp.where(i >= m, lr * cfg.lr_gamma, lr)
+        if cfg.warmup_iter > 0:
+            lr = jnp.where(i < cfg.warmup_iter,
+                           base_lr * i / cfg.warmup_iter, lr)
         return lr
     return sched
 

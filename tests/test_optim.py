@@ -225,3 +225,60 @@ def test_adamax_trajectory_lockstep_vs_torch(monkeypatch):
     for a, b in zip(jax.tree.leaves(p_torch_final), jax.tree.leaves(jparams)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=5e-3, atol=5e-4)
+
+
+def test_srflow_adam_schedule_lockstep_vs_torch():
+    """SRFlow optimizer dynamics pin: torch Adam + the reference
+    MultiStepLR_Restart stepped BEFORE each update with 1-based
+    current_step + the BaseModel warmup override (train.py:184-192,
+    base_model.py:69-81, lr_scheduler.py:24-50) vs optax.adam +
+    srflow_loop._lr_schedule. 25 lockstep updates on identical grads;
+    params must track to fp32 tolerance through warmup AND a decay
+    milestone."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    import sys as _sys
+    if "/root/reference" not in _sys.path:
+        _sys.path.insert(0, "/root/reference")
+    from models.lr_scheduler import MultiStepLR_Restart
+
+    from gpnf_tpu.training.srflow_loop import SRTrainConfig, _lr_schedule
+
+    rng = np.random.default_rng(5)
+    shapes = [(6,), (3, 4)]
+    init = [rng.standard_normal(s).astype(np.float32) for s in shapes]
+    base_lr, warmup, milestones, gamma = 1e-2, 8, [12, 20], 0.5
+
+    tparams = [torch.nn.Parameter(torch.tensor(v.copy())) for v in init]
+    topt = torch.optim.Adam(tparams, lr=base_lr, betas=(0.9, 0.99))
+    sched_t = MultiStepLR_Restart(topt, milestones, gamma=gamma,
+                                  lr_steps_invese=[])
+
+    cfg = SRTrainConfig(lr_steps=milestones, lr_gamma=gamma,
+                        warmup_iter=warmup)
+    sched_j = _lr_schedule(cfg, base_lr)
+    opt = optax.adam(learning_rate=sched_j, b1=0.9, b2=0.99)
+    jparams = [jnp.asarray(v) for v in init]
+    state = opt.init(jparams)
+
+    init_lrs = [g["initial_lr"] for g in topt.param_groups]
+    for i in range(1, 26):  # current_step, 1-based like train.py:184
+        # reference order: scheduler.step() then warmup override, then update
+        sched_t.step()
+        if i < warmup:
+            for g, il in zip(topt.param_groups, init_lrs):
+                g["lr"] = il / warmup * i
+        grads = [rng.standard_normal(s).astype(np.float32) for s in shapes]
+        topt.zero_grad()
+        for p, g in zip(tparams, grads):
+            p.grad = torch.tensor(g.copy())
+        topt.step()
+
+        updates, state = opt.update([jnp.asarray(g) for g in grads], state,
+                                    jparams)
+        jparams = optax.apply_updates(jparams, updates)
+
+        for tp, jp in zip(tparams, jparams):
+            np.testing.assert_allclose(np.asarray(jp), tp.detach().numpy(),
+                                       rtol=1e-5, atol=1e-6,
+                                       err_msg=f"step {i}")
