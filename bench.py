@@ -182,9 +182,12 @@ def main():
                 round(0.01 * A100_PEAK_FLOPS / (flops_per_step / BATCH), 1),
                 round(0.03 * A100_PEAK_FLOPS / (flops_per_step / BATCH), 1),
             ], "roofline_note": "A100 312 TF/s bf16 at 1-3% MFU on our "
-                                "step's FLOPs (small-image flow models are "
-                                "dispatch-bound; even our fully kernel-fused "
-                                "compiled step reaches only ~7% MFU)"}
+                                "step's EXECUTED FLOPs. Note: with the r4 "
+                                "fully-unrolled noattn default the XLA cost "
+                                "count includes remat recompute (9.3e12 vs "
+                                "3.9e12 rolled), so the printed mfu is "
+                                "hardware-FLOP utilization, not model-FLOP "
+                                "MFU; model-FLOP MFU remains ~8%"}
                if flops_per_step else {}),
         },
     }

@@ -193,7 +193,8 @@ def test_precompute_wn_matches_per_use(no_compile_cache):
     forward NLL and v/g gradients must match the per-use path (same fp32
     norm + cast order, so bit-comparable)."""
     from dataclasses import asdict
-    base = tiny_cfg(coupling="mixlogcdf", K=2, use_attention=True)
+    base = tiny_cfg(coupling="mixlogcdf", K=2, use_attention=True,
+                    num_blocks=2, num_components=2)
     cfg_p = MarScfConfig(**{**asdict(base), "precompute_wn": True})
     m0, m1 = MarScfFlow(base), MarScfFlow(cfg_p)
     params = m0.init(KEY)
@@ -255,7 +256,8 @@ def test_noattn_remat_mode_matches_body_grads(no_compile_cache):
     same loss and gradients as the default body-mode remat: checkpoint
     placement only trades memory for recompute."""
     from dataclasses import replace
-    base = tiny_cfg(coupling="mixlogcdf", K=2, use_attention=True)
+    base = tiny_cfg(coupling="mixlogcdf", K=2, use_attention=True,
+                    num_blocks=2, num_components=2)
     m0 = MarScfFlow(base)
     params = m0.init(KEY)
     x = _data(4)
@@ -375,7 +377,8 @@ def test_noattn_full_unroll_matches_default_grads(no_compile_cache):
     (docs/BENCHMARKS.md round-4 sweep: 1096 vs 997 img/s) — must be a pure
     rescheduling: loss and grads match the default body-remat rolled scan."""
     from dataclasses import replace
-    base = tiny_cfg(coupling="mixlogcdf", K=2, use_attention=True)
+    base = tiny_cfg(coupling="mixlogcdf", K=2, use_attention=True,
+                    num_blocks=2, num_components=2)
     m0 = MarScfFlow(base)
     params = m0.init(KEY)
     x = _data(4)
