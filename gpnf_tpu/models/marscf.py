@@ -311,7 +311,12 @@ class MarScfFlow:
             # _split_transpose is a private, unstable lax.scan kwarg; only the
             # opt-in experimental path may depend on it (ADVICE r3).
             scan_kwargs["_split_transpose"] = True
-        unroll = (True if self.cfg.scan_unroll == 0
+        # scan_unroll=0 = full unroll, but only up to K=8: the unrolled
+        # program grows linearly in K and the flagship win (K=4) does not
+        # justify minute-scale compile blowups at e.g. the CLI's K=32
+        # default — larger K falls back to the rolled scan (set an explicit
+        # scan_unroll to override).
+        unroll = (True if (self.cfg.scan_unroll == 0 and k <= 8)
                   else max(1, self.cfg.scan_unroll))
         (z, logdet), _ = jax.lax.scan(
             body, (z, logdet), xs, reverse=inverse,
