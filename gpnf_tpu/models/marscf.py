@@ -213,6 +213,16 @@ class MarScfFlow:
     """Image density model in bits/dim; forward = encode, inverse = sample."""
 
     def __init__(self, cfg: MarScfConfig):
+        from dataclasses import replace as _replace
+        if (cfg.remat and cfg.remat_mode == "noattn" and cfg.scan_steps
+                and cfg.scan_unroll == 0 and cfg.K > 8):
+            # the r4 default pairing (noattn x FULL unroll) only holds up
+            # to the K<=8 unroll cap; a rolled noattn scan stacks the
+            # attention/gate residuals ~K-fold (the body mode remats
+            # them), so large-K configs at the DEFAULT knobs fall back to
+            # body remat. Explicit scan_unroll/remat_mode settings are
+            # honored as given.
+            cfg = _replace(cfg, remat_mode="body")
         self.cfg = cfg
         h, w, c = cfg.image_shape
         assert c in (1, 3)

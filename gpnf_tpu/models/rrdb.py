@@ -196,4 +196,6 @@ class RRDBNet:
         if get_steps:
             results.update(block_results)
             return results
-        return out
+        # results["out"] went through the bf16 fp32/NCHW restore above;
+        # the raw local `out` is NHWC bf16 on that path
+        return results["out"]

@@ -62,9 +62,11 @@ def _lr_schedule(cfg: SRTrainConfig, base_lr: float):
     """
     def sched(step):
         i = step + 1  # reference current_step (1-based)
-        if cfg.warmup_iter > 0:
+        if cfg.warmup_iter > 1:
             post = base_lr * (cfg.warmup_iter - 1) / cfg.warmup_iter
         else:
+            # warmup_iter <= 1: the reference override (`if cur_iter <
+            # warmup_iter`) never fires, so group lr is never mutated
             post = base_lr
         lr = post
         for m in cfg.lr_steps:

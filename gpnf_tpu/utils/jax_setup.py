@@ -55,6 +55,13 @@ def setup(cache_dir: str | None = None, prng_impl: str | None = "rbg"):
                               int(os.environ.get("GPNF_CPU_DEVICES", "1")))
         except RuntimeError:
             pass
+        if jax.default_backend() != "cpu":  # backend was already live
+            raise RuntimeError(
+                "GPNF_FORCE_CPU=1 but the backend initialized as "
+                f"{jax.default_backend()!r} before setup() ran — refusing "
+                "to open a second TPU tunnel client (CLAUDE.md: two "
+                "concurrent clients deadlock). Call setup() before any "
+                "jax use.")
     cache_dir = cache_dir or os.environ.get("GPNF_JAX_CACHE", "/tmp/gpnf_jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -115,10 +115,13 @@ def capture(steps: int, trace_dir: str):
     rng = jax.random.PRNGKey(0)
     params = to_default_device(init_on_cpu(model.init, rng))
     opt = optax.adamax(1e-4)
-    if os.environ.get("BENCH_FLAT_OPT", "small") == "small":
+    flat_mode = os.environ.get("BENCH_FLAT_OPT", "small")
+    if flat_mode == "small":
         # match the production/headline optimizer layout
         from gpnf_tpu.training.optim import flatten_small
         opt = flatten_small(opt, params)
+    elif flat_mode == "1":
+        opt = optax.flatten(opt)
     opt_state = to_default_device(init_on_cpu(opt.init, params))
     step = make_train_step(bits_per_dim_loss(model), opt, mesh=None, donate=True)
     x = jax.random.uniform(jax.random.PRNGKey(1), (batch, 3, 32, 32)) - 0.5

@@ -33,19 +33,22 @@ def main():
     for f in files:
         name = os.path.basename(f)
         t0 = time.time()
-        res = subprocess.run(
-            [sys.executable, "-m", "pytest", f, "-q", *extra],
-            cwd=repo, capture_output=True, text=True, timeout=5400)
+        try:
+            res = subprocess.run(
+                [sys.executable, "-m", "pytest", f, "-q", *extra],
+                cwd=repo, capture_output=True, text=True, timeout=5400)
+            tail = [l for l in res.stdout.strip().splitlines() if l.strip()]
+            summary = tail[-1] if tail else "(no output)"
+            ok = res.returncode == 0
+        except subprocess.TimeoutExpired as e:
+            res, summary, ok = e, "TIMEOUT after 5400s", False
         dt = time.time() - t0
-        tail = [l for l in res.stdout.strip().splitlines() if l.strip()]
-        summary = tail[-1] if tail else "(no output)"
-        ok = res.returncode == 0
         results.append((name, ok, dt, summary, res))
         print(f"{'PASS' if ok else 'FAIL'} {name:32s} {dt:7.1f}s  {summary}",
               flush=True)
         if not ok:
-            print(res.stdout[-3000:])
-            print(res.stderr[-2000:])
+            print(str(res.stdout or "")[-3000:])
+            print(str(res.stderr or "")[-2000:])
     n_fail = sum(1 for _, ok, *_ in results if not ok)
     print(f"== {len(results)} files, {n_fail} failed, "
           f"total {time.time() - t_all:.0f}s")

@@ -129,13 +129,11 @@ def make_base_images(n=6, size=64, seed=0):
 
 # ---------------------------------------------------------------------------
 def spearman(a, b):
-    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
-    ra = np.argsort(np.argsort(a)).astype(np.float64)
-    rb = np.argsort(np.argsort(b)).astype(np.float64)
-    ra -= ra.mean()
-    rb -= rb.mean()
-    denom = np.sqrt((ra**2).sum() * (rb**2).sum())
-    return float((ra * rb).sum() / (denom + 1e-12))
+    """Tie-corrected Spearman (severity vectors are heavily tied: every
+    ladder level repeats across the base images)."""
+    from scipy.stats import spearmanr
+    return float(spearmanr(np.asarray(a, np.float64),
+                           np.asarray(b, np.float64)).statistic)
 
 
 def main():

@@ -15,7 +15,9 @@ KEY = jax.random.PRNGKey(0)
 def tiny_cfg(**kw):
     # pins remat_mode="body", scan_unroll=1 (the pre-r4 defaults) so the
     # mode-equivalence A/Bs below compare distinct modes; the r4 production
-    # default (noattn + full unroll) is exercised by default_cfg()
+    # default pairing (noattn + full unroll) is exercised as the m1 side of
+    # test_noattn_full_unroll_matches_default_grads and end-to-end by
+    # test_imagenet64_shapes_end_to_end (which uses the config defaults)
     base = dict(image_shape=(8, 8, 3), L=2, K=1, hidden_channels=8,
                 coupling="affine", use_attention=True, attn_heads=2,
                 prior="gaussian", remat_mode="body", scan_unroll=1)
