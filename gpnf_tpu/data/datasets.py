@@ -235,3 +235,56 @@ def get_dataset(name: str, batch_size: int, data_root: Optional[str] = None,
     train_loader = NumpyLoader(train, batch_size, shuffle=True, augment=augment, seed=seed)
     test_loader = NumpyLoader(test, batch_size, shuffle=False)
     return train_loader, test_loader, (size, size, 3)
+
+
+class PrefetchLoader:
+    """Background-thread prefetcher: batch prep (gather + augment + convert)
+    and the host->device transfer overlap the device step.
+
+    Wraps any batch iterable; a worker thread stays `depth` batches ahead
+    and (optionally) `jax.device_put`s each batch so the training loop pops
+    device-resident arrays. The torch reference gets this from DataLoader
+    worker processes (train.py); one thread suffices here because the prep
+    path releases the GIL inside numpy/C++ augment and the transfer.
+
+    Iteration protocol matches NumpyLoader (len = inner len, fresh epoch
+    per __iter__; the worker is per-epoch and joins at exhaustion).
+    """
+
+    def __init__(self, inner, *, depth: int = 2, to_device: bool = True):
+        self.inner = inner
+        self.depth = max(1, depth)
+        self.to_device = to_device
+
+    def __len__(self):
+        return len(self.inner)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        _END = object()
+
+        def worker():
+            try:
+                for batch in self.inner:
+                    if self.to_device:
+                        import jax
+                        batch = jax.device_put(batch)
+                    q.put(batch)
+            except BaseException as e:  # surfaced on the consumer side
+                q.put(e)
+                return
+            q.put(_END)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        t.join()

@@ -95,6 +95,14 @@ def train(model_cfg: MarScfConfig, train_cfg: TrainConfig, *, log_fn=print):
 
     mesh = make_mesh() if train_cfg.use_mesh and len(jax.devices()) > 1 else None
 
+    # background prefetch: batch prep + H2D transfer overlap the device
+    # step (one thread; prep releases the GIL in numpy/C++/device_put).
+    # Under a mesh the batch must be SHARDED, so placement stays with
+    # shard_batch in the loop and the worker only prepares host batches.
+    from ..data.datasets import PrefetchLoader
+    train_loader = PrefetchLoader(train_loader, depth=2,
+                                  to_device=mesh is None)
+
     # Adamax + linear warmup counted in samples (marscf_main.py:302-303,346)
     # with torch-EXACT semantics: reference_adamax replicates torch's
     # eps-inside-the-max infinity-norm buffer and reference_warmup the

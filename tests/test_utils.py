@@ -260,3 +260,44 @@ def test_lpips_proxy_trained_features():
 
     _, _, lp = Measure(lpips_proxy=True).measure(img, noisy_sm)
     assert lp is not None and abs(lp - d1) < 1e-6
+
+
+def test_prefetch_loader_matches_inner():
+    """PrefetchLoader must yield exactly the inner loader's batches, in
+    order, across multiple epochs, and propagate worker exceptions."""
+    import numpy as np
+    import pytest
+
+    from gpnf_tpu.data.datasets import NumpyLoader, PrefetchLoader
+
+    imgs = (np.arange(8 * 3 * 4 * 4) % 255).astype(np.uint8).reshape(8, 3, 4, 4)
+    inner = NumpyLoader(imgs, 2, shuffle=False)
+    pre = PrefetchLoader(NumpyLoader(imgs, 2, shuffle=False), depth=2,
+                         to_device=False)
+    assert len(pre) == len(inner)
+    for _ in range(2):  # fresh epoch per __iter__
+        got = list(pre)
+        want = list(inner)
+        assert len(got) == len(want)
+        for a, b in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    class Boom:
+        def __iter__(self):
+            yield np.zeros((2, 3, 4, 4), np.float32)
+            raise ValueError("worker boom")
+
+    with pytest.raises(ValueError, match="worker boom"):
+        list(PrefetchLoader(Boom(), to_device=False))
+
+
+def test_prefetch_loader_device_put():
+    from gpnf_tpu.data.datasets import NumpyLoader, PrefetchLoader
+    import numpy as np
+    import jax
+
+    imgs = np.zeros((4, 3, 4, 4), np.uint8)
+    pre = PrefetchLoader(NumpyLoader(imgs, 2, shuffle=False), to_device=True)
+    batches = list(pre)
+    assert len(batches) == 2
+    assert all(isinstance(b, jax.Array) for b in batches)
