@@ -265,26 +265,50 @@ class PrefetchLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         _END = object()
+        stop = threading.Event()  # set when the consumer abandons iteration
+
+        def put_or_stop(item):
+            """q.put that aborts when the consumer went away (ADVICE r4:
+            a plain blocking put leaks the worker + device batches when the
+            generator is dropped mid-epoch, e.g. a max_steps break)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for batch in self.inner:
+                    if stop.is_set():
+                        return
                     if self.to_device:
                         import jax
                         batch = jax.device_put(batch)
-                    q.put(batch)
+                    if not put_or_stop(batch):
+                        return
             except BaseException as e:  # surfaced on the consumer side
-                q.put(e)
+                put_or_stop(e)
                 return
-            q.put(_END)
+            put_or_stop(_END)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            try:  # unblock a put-in-flight, then reap the thread
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=5.0)

@@ -97,6 +97,25 @@ class GPRegression:
             "log_noise": jnp.full((), -2.0),
         }
 
+    def init_from_data(self, key, x, y):
+        """Median-heuristic hyperparameter init: lengthscale from the median
+        pairwise distance of x, variance/noise from var(y). Unit-scale
+        defaults (init()) saturate the kernel when features live far apart —
+        e.g. flow latents — leaving ~0 gradients everywhere; this puts the
+        fit in the responsive regime from step 0."""
+        params = self.init(key)
+        d2 = _sqdist(x, x, jnp.ones((1,), x.dtype))
+        n = x.shape[0]
+        off = d2[jnp.triu_indices(n, k=1)]
+        med = jnp.median(off)
+        log_ls = 0.5 * jnp.log(jnp.maximum(med / 2.0, 1e-12))
+        var_y = jnp.maximum(jnp.var(y), 1e-8)
+        return {
+            "log_lengthscale": jnp.full_like(params["log_lengthscale"], log_ls),
+            "log_variance": jnp.log(var_y),
+            "log_noise": jnp.log(0.1 * var_y),
+        }
+
     def _hyper(self, params):
         return (jnp.exp(params["log_lengthscale"]),
                 jnp.exp(params["log_variance"]),
@@ -153,23 +172,30 @@ class GPRegression:
             return mean, post_var
 
     def fit(self, params, x, y, *, steps: int = 200, lr: float = 0.05):
-        """Type-II MLE of the hyperparameters via Adam on the NLML."""
+        """Type-II MLE of the hyperparameters via Adam on the NLML.
+
+        One jitted lax.scan over all steps (a per-step python loop pays
+        seconds of dispatch per step over the axon TPU tunnel)."""
         import optax
 
         opt = optax.adam(lr)
         opt_state = opt.init(params)
 
         @jax.jit
-        def step(params, opt_state):
-            loss, grads = jax.value_and_grad(self.neg_log_marginal_likelihood)(
-                params, x, y)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
+        def run(params, opt_state, x, y):
+            def body(carry, _):
+                p, st = carry
+                loss, grads = jax.value_and_grad(
+                    self.neg_log_marginal_likelihood)(p, x, y)
+                updates, st = opt.update(grads, st, p)
+                return (optax.apply_updates(p, updates), st), loss
 
-        loss = jnp.inf
-        for _ in range(steps):
-            params, opt_state, loss = step(params, opt_state)
-        return params, float(loss)
+            (p, _), losses = jax.lax.scan(body, (params, opt_state), None,
+                                          length=steps)
+            return p, losses
+
+        params, losses = run(params, opt_state, x, y)
+        return params, float(losses[-1])
 
 
 class FlowGP:
@@ -191,18 +217,69 @@ class FlowGP:
         z = self.feature_fn(flow_params, x)
         return self.gp.neg_log_marginal_likelihood(params["gp"], z, y)
 
+    def joint_nlml(self, joint, x, y):
+        """NLML as a function of ONE pytree {"gp": ..., "flow": ...} so a
+        single value_and_grad yields marginal-likelihood gradients w.r.t.
+        the GP hyperparameters AND every flow parameter (BASELINE.json
+        north-star: "marginal-likelihood gradients" through the warp)."""
+        z = self.feature_fn(joint["flow"], x)
+        return self.gp.neg_log_marginal_likelihood(joint["gp"], z, y)
+
     def posterior(self, params, flow_params, x_train, y_train, x_test):
         z_tr = self.feature_fn(flow_params, x_train)
         z_te = self.feature_fn(flow_params, x_test)
         return self.gp.posterior(params["gp"], z_tr, y_train, z_te)
 
+    def fit(self, params, flow_params, x, y, *, steps: int = 100,
+            lr: float = 0.02, flow_lr: Optional[float] = None,
+            train_flow: bool = True):
+        """JOINT type-II MLE: Adam on the NLML through both the GP
+        hyperparameters and the flow parameters.
+
+        The whole optimization is one jitted lax.scan — over the axon
+        tunnel a per-step python loop would pay seconds of dispatch per
+        step. Returns (gp_params, flow_params, nlml_trajectory).
+        With train_flow=False the flow is frozen (optax.set_to_zero) so
+        the same compiled program serves as the frozen-features baseline.
+        """
+        import numpy as np
+        import optax
+
+        joint = {"gp": params["gp"], "flow": flow_params}
+        tx_flow = (optax.adam(lr if flow_lr is None else flow_lr)
+                   if train_flow else optax.set_to_zero())
+        opt = optax.multi_transform(
+            {"gp": optax.adam(lr), "flow": tx_flow},
+            param_labels={"gp": "gp", "flow": "flow"})
+        opt_state = opt.init(joint)
+
+        @jax.jit
+        def run(joint, opt_state, x, y):
+            def body(carry, _):
+                jp, st = carry
+                loss, grads = jax.value_and_grad(self.joint_nlml)(jp, x, y)
+                updates, st = opt.update(grads, st, jp)
+                jp = optax.apply_updates(jp, updates)
+                return (jp, st), loss
+
+            (jp, _), losses = jax.lax.scan(body, (joint, opt_state), None,
+                                           length=steps)
+            return jp, losses
+
+        joint, losses = run(joint, opt_state, x, y)
+        return ({"gp": joint["gp"]}, joint["flow"],
+                np.asarray(jax.device_get(losses)))
+
 
 def flow_feature_fn(model):
-    """Feature extractor from a MarScfFlow: deterministic encode, flattened z."""
+    """Feature extractor from a MarScfFlow: deterministic encode, flattened z.
+
+    logdet follows x.dtype so the same feature map runs in float64 for the
+    finite-difference gradient verification (tests/test_flow_gp.py)."""
     import jax.numpy as jnp
 
     def feature_fn(flow_params, x):
-        logdet = jnp.zeros((x.shape[0],), jnp.float32)
+        logdet = jnp.zeros((x.shape[0],), x.dtype)
         z, _ = model.encode(flow_params, x, logdet)
         return z.reshape(z.shape[0], -1)
 

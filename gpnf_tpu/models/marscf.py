@@ -219,9 +219,19 @@ class MarScfFlow:
             # the r4 default pairing (noattn x FULL unroll) only holds up
             # to the K<=8 unroll cap; a rolled noattn scan stacks the
             # attention/gate residuals ~K-fold (the body mode remats
-            # them), so large-K configs at the DEFAULT knobs fall back to
-            # body remat. Explicit scan_unroll/remat_mode settings are
-            # honored as given.
+            # them), so noattn + scan_unroll=0 at K > 8 ALWAYS falls back
+            # to body remat — including when the caller set those values
+            # explicitly (defaults and explicit-equal-to-default are
+            # indistinguishable here). To keep noattn at large K, pass
+            # scan_unroll=K (true full unroll) or remat_mode="body"/
+            # "blocks" deliberately. The fallback is logged so it is
+            # never silent (ADVICE r4).
+            import logging
+            logging.getLogger(__name__).warning(
+                "MarScfConfig: remat_mode 'noattn' with scan_unroll=0 at "
+                "K=%d (>8) falls back to remat_mode='body' (rolled scan "
+                "would stack attention residuals K-fold); set "
+                "scan_unroll=K to force full unroll with noattn.", cfg.K)
             cfg = _replace(cfg, remat_mode="body")
         self.cfg = cfg
         h, w, c = cfg.image_shape

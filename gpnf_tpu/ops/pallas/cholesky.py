@@ -44,7 +44,10 @@ DIAG_REF_SLICE = True
 
 
 def _dot(x, y, precision=None):
-    return jnp.dot(x, y, preferred_element_type=jnp.float32,
+    # fp32 accumulation on TPU; float64 operands (the CPU fp64 verification
+    # path, tests/test_flow_gp.py) keep their own dtype
+    acc = jnp.float64 if x.dtype == jnp.float64 else jnp.float32
+    return jnp.dot(x, y, preferred_element_type=acc,
                    precision=precision or jax.lax.Precision.HIGHEST)
 
 

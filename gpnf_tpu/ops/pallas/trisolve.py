@@ -35,7 +35,10 @@ BLK = 128
 
 
 def _dot(x, y):
-    return jnp.dot(x, y, preferred_element_type=jnp.float32,
+    # fp32 accumulation on TPU; float64 operands (CPU fp64 verification
+    # path) keep their own dtype
+    acc = jnp.float64 if x.dtype == jnp.float64 else jnp.float32
+    return jnp.dot(x, y, preferred_element_type=acc,
                    precision=jax.lax.Precision.HIGHEST)
 
 

@@ -103,8 +103,8 @@ def capture(steps: int, trace_dir: str):
     cfg = MarScfConfig(image_shape=(32, 32, 3), L=3, K=4, hidden_channels=96,
                        coupling="mixlogcdf", compute_dtype="bfloat16",
                        remat=os.environ.get("BENCH_REMAT", "1") == "1",
-                       remat_mode=os.environ.get("BENCH_REMAT_MODE", "body"),
-                       scan_unroll=int(os.environ.get("BENCH_SCAN_UNROLL", 1)),
+                       remat_mode=os.environ.get("BENCH_REMAT_MODE", "noattn"),
+                       scan_unroll=int(os.environ.get("BENCH_SCAN_UNROLL", 0)),
                        precompute_wn=os.environ.get(
                            "BENCH_PRECOMPUTE_WN", "0") == "1",
                        remat_save_names=os.environ.get(

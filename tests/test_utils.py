@@ -291,6 +291,33 @@ def test_prefetch_loader_matches_inner():
         list(PrefetchLoader(Boom(), to_device=False))
 
 
+def test_prefetch_loader_abandoned_iteration_reaps_worker():
+    """Dropping the generator mid-epoch (e.g. a max_steps break) must stop
+    the worker thread instead of leaking it blocked on q.put (ADVICE r4)."""
+    import threading
+    import time
+
+    import numpy as np
+
+    from gpnf_tpu.data.datasets import NumpyLoader, PrefetchLoader
+
+    imgs = np.zeros((64, 3, 4, 4), np.uint8)  # 32 batches >> depth
+    pre = PrefetchLoader(NumpyLoader(imgs, 2, shuffle=False), depth=2,
+                         to_device=False)
+    before = {t.ident for t in threading.enumerate()}
+    it = iter(pre)
+    next(it)
+    it.close()  # GeneratorExit — the abandonment path
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        leaked = [t for t in threading.enumerate()
+                  if t.ident not in before and t.is_alive()]
+        if not leaked:
+            break
+        time.sleep(0.05)
+    assert not leaked, f"prefetch worker leaked: {leaked}"
+
+
 def test_prefetch_loader_device_put():
     from gpnf_tpu.data.datasets import NumpyLoader, PrefetchLoader
     import numpy as np
