@@ -121,6 +121,11 @@ class MarScfConfig:
     # "bfloat16" runs the coupling networks on the MXU in bf16 (log-det math
     # stays fp32); "float32" is the exact reference-precision path.
     compute_dtype: str = "float32"
+    # one-launch GatedConv+residual Pallas kernel (concat-ELU, 3x3 conv as
+    # tap matmuls, Dropout2d, GLU gate, residual all in VMEM; custom VJP
+    # saves only inputs+weights) — attacks the 86.7 ms elementwise-fusion
+    # bucket of the r4 winner anatomy. A/B knob; see docs/BENCHMARKS.md.
+    fused_gated_conv: bool = False
     # Hoist weight normalization out of the K-step scan: normalize each WN
     # layer's stacked (K, ...) params in ONE fused kernel before the scan
     # instead of per iteration + per rematted backward (ops/conv.py
@@ -146,7 +151,8 @@ class FlowStep:
                 num_components=cfg.num_components, drop_prob=cfg.drop_prob,
                 compute_dtype=compute_dtype,
                 block_remat=cfg.remat and cfg.remat_mode == "blocks",
-                sub_remat=cfg.remat and cfg.remat_mode == "noattn")
+                sub_remat=cfg.remat and cfg.remat_mode == "noattn",
+                fused_gconv=cfg.fused_gated_conv)
             self.tuple_flip = TupleFlip()
         elif cfg.coupling == "affine":
             self.coupling = AffineCoupling(channels, channels, cfg.hidden_channels)

@@ -145,21 +145,27 @@ class WNConv2d:
             p["b"] = jax.random.uniform(kb, (self.out_ch,), minval=-bound, maxval=bound)
         return p
 
-    def apply(self, params, x, *, layout: str = "NCHW"):
+    def effective_weight(self, params, dtype=None):
+        """The weight-normalized OIHW kernel; differentiable in v, g."""
         from jax.ad_checkpoint import checkpoint_name
 
         if "w_eff" in params:  # precompute_wn path: normalized outside scan
             w = params["w_eff"]
-            w = w.astype(x.dtype) if w.dtype != x.dtype else w
-            return conv2d(x, w, params.get("b"), layout=layout)
+            return (w.astype(dtype) if dtype is not None and w.dtype != dtype
+                    else w)
         v = params["v"].astype(jnp.float32)  # weight norm in fp32 under bf16
         norm = jnp.sqrt(jnp.sum(v.reshape(v.shape[0], -1) ** 2, axis=-1))
         g = params["g"].astype(jnp.float32)
-        w = (v * (g / norm).reshape(-1, 1, 1, 1)).astype(x.dtype)
+        w = v * (g / norm).reshape(-1, 1, 1, 1)
+        if dtype is not None:
+            w = w.astype(dtype)
         # "wcast" is in the remat save policy: the normalized+cast weight is
         # tiny but otherwise recomputed per use in every rematted backward
         # (~1.5k sub-[192] kernels/step in the r3 anatomy, docs/BENCHMARKS.md)
-        w = checkpoint_name(w, "wcast")
+        return checkpoint_name(w, "wcast")
+
+    def apply(self, params, x, *, layout: str = "NCHW"):
+        w = self.effective_weight(params, x.dtype)
         return conv2d(x, w, params.get("b"), layout=layout)
 
 

@@ -98,6 +98,24 @@ class GatedConv:
         a, b = jnp.split(h, 2, axis=ch_axis)
         return a * jax.nn.sigmoid(b)
 
+    def apply_fused(self, params, x, *, rng=None, train=False):
+        """One-kernel path (+residual): the whole concat-ELU -> 3x3 conv ->
+        concat-ELU -> Dropout2d -> 1x1 GLU -> +x chain runs in a single
+        Pallas launch (ops/pallas/fused_gated_conv.py) — nothing between x
+        and the output touches HBM, and the custom VJP recomputes the chain
+        in VMEM so remat saves only (x, effective weights). NHWC, no aux."""
+        from .pallas.fused_gated_conv import fused_gated_conv
+
+        w1 = self.conv.effective_weight(params["conv"], x.dtype)  # (C,2C,3,3)
+        w1 = jnp.transpose(w1, (2, 3, 1, 0))  # taps (3, 3, 2C, C)
+        wg = self.gate.effective_weight(params["gate"], x.dtype)  # (2C,2C,1,1)
+        wg = wg[:, :, 0, 0].T  # input-major (2C, 2C)
+        rate = self.drop_prob if (train and rng is not None) else 0.0
+        seed = (jax.random.randint(rng, (1,), 0, 2**30, jnp.int32)
+                if rng is not None else jnp.zeros((1,), jnp.int32))
+        return fused_gated_conv(seed, x, w1, params["conv"]["b"], wg,
+                                params["gate"]["b"], rate, train)
+
 
 def sinusoidal_pos_enc(seq_len: int, num_channels: int, dtype=jnp.float32):
     """Transformer sinusoidal positions (mixlogcdf_nn.py:209-224)."""
@@ -169,10 +187,12 @@ class GatedAttn:
 
 class ConvAttnBlock:
     def __init__(self, num_ch: int, drop_prob: float, use_attn: bool, aux_ch=None,
-                 sub_remat: bool = False):
+                 sub_remat: bool = False, fused_gconv: bool = False):
         self.conv = GatedConv(num_ch, drop_prob, aux_ch)
         self.norm1 = LayerNorm(num_ch)
         self.use_attn = use_attn
+        # one-launch GatedConv+residual Pallas kernel (NHWC, no aux)
+        self.fused_gconv = fused_gconv and aux_ch is None
         # "noattn" remat mode: checkpoint ONLY the conv branch and the norms
         # (their recompute is cheap elementwise/conv work) and leave the
         # attention + gate matmuls un-rematted, so their outputs cross the
@@ -201,6 +221,8 @@ class ConvAttnBlock:
         if rng is not None:
             r1, r2 = jax.random.split(rng)
 
+        fused = self.fused_gconv and aux is None and layout == "NHWC"
+
         def conv_res(p, xx, aa, rr):
             return self.conv.apply(p, xx, aa, rng=rr, train=train,
                                    layout=layout) + xx
@@ -208,14 +230,19 @@ class ConvAttnBlock:
         if self.sub_remat:
             # saves only (params, x, aux, rng); the concat-ELU/3x3/GLU chain
             # recomputes in backward — cheaper than storing its fp32
-            # elementwise intermediates (the no-remat OOM class)
+            # elementwise intermediates (the no-remat OOM class). The fused
+            # kernel's custom VJP already has exactly these residuals, so it
+            # is NOT additionally wrapped.
             conv_res = jax.checkpoint(conv_res)
             norm = lambda p, xx, n=None: jax.checkpoint(
                 (self.norm1 if n == 1 else self.norm2).apply)(p, xx)
         else:
             norm = lambda p, xx, n=None: (
                 self.norm1 if n == 1 else self.norm2).apply(p, xx)
-        x = conv_res(params["conv"], x, aux, r1)
+        if fused:
+            x = self.conv.apply_fused(params["conv"], x, rng=r1, train=train)
+        else:
+            x = conv_res(params["conv"], x, aux, r1)
         if layout == "NCHW":
             x = x.transpose(0, 2, 3, 1)  # NCHW -> NHWC for norms/attention
         x = norm(params["norm1"], x, 1)
@@ -243,12 +270,13 @@ class MixLogCDFNet:
     def __init__(self, in_ch: int, num_ch: int, num_blocks: int, num_components: int,
                  drop_prob: float, use_attn: bool = True, aux_ch=None,
                  compute_dtype=None, block_remat: bool = False,
-                 sub_remat: bool = False):
+                 sub_remat: bool = False, fused_gconv: bool = False):
         self.k = num_components
         self.in_ch = in_ch
         self.in_conv = WNConv2d(in_ch, num_ch, 3)
         self.blocks = [ConvAttnBlock(num_ch, drop_prob, use_attn, aux_ch,
-                                     sub_remat=sub_remat)
+                                     sub_remat=sub_remat,
+                                     fused_gconv=fused_gconv)
                        for _ in range(num_blocks)]
         self.out_conv = WNConv2d(num_ch, in_ch * (2 + 3 * self.k), 3)
         self.compute_dtype = compute_dtype
@@ -333,11 +361,13 @@ class MixLogCDFCoupling:
     def __init__(self, in_ch: int, mid_ch: int, num_blocks: int = 10,
                  num_components: int = 32, drop_prob: float = 0.2,
                  use_attn: bool = True, aux_ch=None, compute_dtype=None,
-                 block_remat: bool = False, sub_remat: bool = False):
+                 block_remat: bool = False, sub_remat: bool = False,
+                 fused_gconv: bool = False):
         self.net = MixLogCDFNet(in_ch // 2, mid_ch, num_blocks, num_components,
                                 drop_prob, use_attn, aux_ch,
                                 compute_dtype=compute_dtype,
-                                block_remat=block_remat, sub_remat=sub_remat)
+                                block_remat=block_remat, sub_remat=sub_remat,
+                                fused_gconv=fused_gconv)
         self.sub_remat = sub_remat
 
     def init(self, key):
