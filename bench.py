@@ -36,6 +36,64 @@ STEPS = int(os.environ.get("BENCH_STEPS", 20))
 REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
 
 
+def _model_flops_per_sample(cfg):
+    """XLA cost analysis of the remat-free rolled train step on the CPU
+    backend at batch 8 (FLOPs are linear in batch), disk-cached by config."""
+    import hashlib
+    import json as _json
+    from dataclasses import asdict, replace
+
+    import jax
+    import jax.numpy as jnp
+
+    # normalize every knob that doesn't change model FLOPs (remat/unroll/
+    # kernel-fusion/precision) so the cache key is stable across A/Bs
+    cfg2 = replace(cfg, remat=False, scan_unroll=1, compute_dtype="float32",
+                   fused_gated_conv=False, precompute_wn=False,
+                   scan_split_transpose=False, prior_scan_unroll=1)
+    key = hashlib.sha1(_json.dumps(asdict(cfg2), sort_keys=True,
+                                   default=str).encode()).hexdigest()[:16]
+    cache_path = os.environ.get("BENCH_MODEL_FLOPS_CACHE",
+                                "/tmp/gpnf_model_flops.json")
+    cache = {}
+    if os.path.exists(cache_path):
+        try:
+            with open(cache_path) as f:
+                cache = _json.load(f)
+        except Exception:
+            cache = {}
+    if key in cache:
+        return float(cache[key])
+
+    from gpnf_tpu.models.marscf import MarScfFlow
+
+    b = 8
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        model2 = MarScfFlow(cfg2)
+        params = model2.init(jax.random.PRNGKey(0))
+        hh, ww, _ = cfg2.image_shape
+        x = jax.random.uniform(jax.random.PRNGKey(1), (b, 3, hh, ww)) - 0.5
+
+        def loss_fn(p, x, rng):
+            _, nll = model2.forward(p, x, rng=rng, train=True)
+            return jnp.mean(nll)
+
+        compiled = (jax.jit(jax.value_and_grad(loss_fn))
+                    .lower(params, x, jax.random.PRNGKey(2)).compile())
+        cost = compiled.cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        f = float(cost.get("flops", 0.0))
+    if f <= 0:
+        raise RuntimeError("cpu cost analysis returned no flops")
+    cache[key] = f / b
+    tmp = cache_path + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump(cache, fh)
+    os.replace(tmp, cache_path)
+    return f / b
+
+
 def main():
     import jax
     import numpy as np
@@ -50,8 +108,12 @@ def main():
 
     from gpnf_tpu.utils.jax_setup import init_on_cpu, to_default_device
 
-    cfg = MarScfConfig(image_shape=(32, 32, 3), L=3, K=4, hidden_channels=96,
+    size = int(os.environ.get("BENCH_IMAGE", 32))  # 64 = ImageNet-64 row
+    cfg = MarScfConfig(image_shape=(size, size, 3), L=3, K=4,
+                       hidden_channels=96,
                        coupling="mixlogcdf",
+                       fused_gated_conv=os.environ.get(
+                           "BENCH_FUSED_GCONV", "0") == "1",
                        compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
                        remat=os.environ.get("BENCH_REMAT", "1") == "1",
                        remat_mode=os.environ.get("BENCH_REMAT_MODE", "noattn"),
@@ -98,7 +160,7 @@ def main():
     step = make_train_step(bits_per_dim_loss(model), opt, mesh=None,
                            donate=True)
 
-    x = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, 3, 32, 32)) - 0.5
+    x = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, 3, size, size)) - 0.5
 
     # FLOPs per step from XLA's cost analysis of THE step executable we then
     # time: lowering the same jitted fn populates its compile cache, so this
@@ -112,6 +174,21 @@ def main():
         flops_per_step = f if f > 0 else None
     except Exception as e:  # cost analysis is best-effort
         print(f"# cost analysis unavailable: {e}", file=sys.stderr)
+
+    # MODEL FLOPs (VERDICT r4 item 6): cost analysis of the ROLLED,
+    # remat-free graph — the timed executable's count includes remat
+    # recompute (9.3e12 vs 3.9e12 at the r4 default), so its "mfu" is
+    # hardware-FLOP utilization, not model-FLOP MFU. Computed on the CPU
+    # backend at small batch (NEVER compile the no-remat graph on the TPU
+    # server: the b256 no-remat compile OOMs server-side and wedges the
+    # tunnel — CLAUDE.md degraded-window hazard), scaled linearly in batch,
+    # and cached on disk keyed by the model config.
+    model_flops_per_step = None
+    if os.environ.get("BENCH_MODEL_FLOPS", "1") == "1":
+        try:
+            model_flops_per_step = _model_flops_per_sample(cfg) * BATCH
+        except Exception as e:
+            print(f"# model-flops analysis unavailable: {e}", file=sys.stderr)
 
     t_compile = time.time()
     for _ in range(WARMUP):
@@ -152,15 +229,19 @@ def main():
     img_s = float(np.median(rates))
     spread = float((max(rates) - min(rates)) / img_s)
 
-    # MFU vs this chip's peak.
-    mfu = None
+    # MFU vs this chip's peak: mfu_hw = EXECUTED FLOPs (includes remat
+    # recompute) / peak; mfu_model = remat-free model FLOPs / peak.
+    mfu_hw = mfu_model = None
     kind = jax.devices()[0].device_kind.lower()
     peak = 459e12 if "v5p" in kind or "v5 p" in kind else 197e12
     if flops_per_step:
-        mfu = flops_per_step * img_s / BATCH / peak
+        mfu_hw = flops_per_step * img_s / BATCH / peak
+    if model_flops_per_step:
+        mfu_model = model_flops_per_step * img_s / BATCH / peak
 
     out = {
-        "metric": "cifar10_mixlogcdf_K4_C96_train_throughput",
+        "metric": ("cifar10_mixlogcdf_K4_C96_train_throughput" if size == 32
+                   else f"i{size}_mixlogcdf_K4_C96_train_throughput"),
         "value": round(img_s, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_s / A100_BASELINE_IMG_S, 3),
@@ -172,8 +253,12 @@ def main():
             "note": "per-step host readback (one tunnel RTT per step); "
                     "r1-r3 protocol",
         },
-        **({"mfu": round(mfu, 4)} if mfu is not None else {}),
+        **({"mfu_hw": round(mfu_hw, 4)} if mfu_hw is not None else {}),
+        **({"mfu_model": round(mfu_model, 4)} if mfu_model is not None
+           else {}),
         **({"flops_per_step": flops_per_step} if flops_per_step else {}),
+        **({"model_flops_per_step": model_flops_per_step}
+           if model_flops_per_step else {}),
         "baseline_basis": {
             "a100_img_s": A100_BASELINE_IMG_S,
             "kind": "documented estimate (reference publishes no throughput; "
@@ -182,12 +267,11 @@ def main():
                 round(0.01 * A100_PEAK_FLOPS / (flops_per_step / BATCH), 1),
                 round(0.03 * A100_PEAK_FLOPS / (flops_per_step / BATCH), 1),
             ], "roofline_note": "A100 312 TF/s bf16 at 1-3% MFU on our "
-                                "step's EXECUTED FLOPs. Note: with the r4 "
-                                "fully-unrolled noattn default the XLA cost "
-                                "count includes remat recompute (9.3e12 vs "
-                                "3.9e12 rolled), so the printed mfu is "
-                                "hardware-FLOP utilization, not model-FLOP "
-                                "MFU; model-FLOP MFU remains ~8%"}
+                                "step's EXECUTED FLOPs. mfu_hw counts the "
+                                "timed executable's FLOPs (includes remat "
+                                "recompute); mfu_model counts the rolled "
+                                "remat-free graph's FLOPs (CPU cost "
+                                "analysis, cached)"}
                if flops_per_step else {}),
         },
     }

@@ -239,10 +239,13 @@ class SRFlowStep:
                  hidden_channels: int = 64, actnorm_scale: float = 1.0,
                  use_attention: bool = True, attn_heads: int = 5,
                  attn_score: str = "softmax", affine_eps: float = 1e-4,
-                 compute_dtype=None):
+                 compute_dtype=None, sub_remat: bool = False):
         self.actnorm = ActNorm(in_channels, actnorm_scale)
         self.invconv = NonLUInvConv(in_channels)
         self.coupling_type = coupling
+        # "noattn"-style remat: only the coupling's conv stacks recompute in
+        # backward; attention/actnorm/invconv outputs are plain residuals
+        self.sub_remat = sub_remat
         if coupling == "CondAffineSeparatedAndCond":
             self.affine = CondAffineSeparatedAndCond(
                 in_channels, in_channels_rrdb, hidden_channels, affine_eps,
@@ -273,11 +276,16 @@ class SRFlowStep:
             p["attn2"] = self.attn2.init(ks[4])
         return p
 
+    def _affine_fn(self, inverse: bool):
+        fn = self.affine.inverse if inverse else self.affine.forward
+        wrapped = lambda p, z, l, f: fn(p, z, l, ft=f)
+        return jax.checkpoint(wrapped) if self.sub_remat else wrapped
+
     def forward(self, params, z, logdet, *, ft=None, **_):
         z, logdet = self.actnorm.forward(params["actnorm"], z, logdet)
         z, logdet = self.invconv.forward(params["invconv"], z, logdet)
         if self.affine is not None:
-            z, logdet = self.affine.forward(params["affine"], z, logdet, ft=ft)
+            z, logdet = self._affine_fn(False)(params["affine"], z, logdet, ft)
         if self.use_attention:
             z, logdet = self.attn1.forward(params["attn1"], z, logdet)
             z, logdet = self.attn2.forward(params["attn2"], z, logdet, permute=True)
@@ -288,7 +296,7 @@ class SRFlowStep:
             z, logdet = self.attn2.inverse(params["attn2"], z, logdet, permute=True)
             z, logdet = self.attn1.inverse(params["attn1"], z, logdet)
         if self.affine is not None:
-            z, logdet = self.affine.inverse(params["affine"], z, logdet, ft=ft)
+            z, logdet = self._affine_fn(True)(params["affine"], z, logdet, ft)
         z, logdet = self.invconv.inverse(params["invconv"], z, logdet)
         z, logdet = self.actnorm.inverse(params["actnorm"], z, logdet)
         return z, logdet
@@ -341,6 +349,17 @@ class SRFlowConfig:
     # TPU compilation/memory controls (see MarScfConfig)
     scan_steps: bool = True
     remat: bool = True
+    # lax.scan unroll factor for the K-step scans: 0 = FULL unroll (capped
+    # at K <= 8 — larger K falls back to rolled), 1 = rolled, >1 partial.
+    # The flagship's winning r4 pairing was full unroll x sub-step remat
+    # ("noattn" below); A/B'd here per VERDICT r4 item 4.
+    scan_unroll: int = 1
+    # "body": jax.checkpoint around the whole K-step scan body (r3 default).
+    # "noattn": NO scan-body checkpoint; only the CondAffine coupling's conv
+    # stacks are sub-checkpointed, so attention/actnorm/invconv outputs
+    # cross the scan (or the unrolled program) as ordinary residuals — the
+    # mAR-SCF winner's remat shape ported to the SRFlow step.
+    remat_mode: str = "body"
     # named-save remat policy for the K-step scan checkpoint ("" = recompute
     # everything, the r3 default). "wcast" keeps the tiny bf16 weight casts
     # (only populated when compute_dtype=bfloat16).
@@ -398,7 +417,9 @@ class FlowUpsamplerNet:
                                    attn_heads=cfg.attn_heads,
                                    attn_score=cfg.attn_score,
                                    affine_eps=cfg.affine_eps,
-                                   compute_dtype=self._dt(cfg))
+                                   compute_dtype=self._dt(cfg),
+                                   sub_remat=(cfg.remat
+                                              and cfg.remat_mode == "noattn"))
             if cfg.scan_steps:
                 self.structure.append(("kscan", cond_step, level))
             else:
@@ -439,14 +460,19 @@ class FlowUpsamplerNet:
             z, logdet = fn(p_step, z, logdet, ft=ft)
             return (z, logdet), None
 
-        if self.cfg.remat:
+        if self.cfg.remat and self.cfg.remat_mode == "body":
             policy = None
             if self.cfg.remat_save_names:
                 policy = jax.checkpoint_policies.save_only_these_names(
                     *self.cfg.remat_save_names.split(","))
             body = jax.checkpoint(body, policy=policy)
+        # scan_unroll=0 = full unroll up to K=8 (the winning mAR-SCF program
+        # shape: no scan residual stacking / named-save barriers); larger K
+        # falls back to the rolled scan like MarScfFlow
+        unroll = (True if (self.cfg.scan_unroll == 0 and self.cfg.K <= 8)
+                  else max(1, self.cfg.scan_unroll))
         (z, logdet), _ = jax.lax.scan(body, (z, logdet), stacked,
-                                      reverse=inverse)
+                                      reverse=inverse, unroll=unroll)
         return z, logdet
 
     def _ft(self, rrdb_results, level):

@@ -33,7 +33,10 @@ MAX_S = 512  # spatial sites per image above which the jnp path is used
 
 
 def _elu(z):
-    return jnp.where(z > 0, z, jnp.expm1(z))
+    # exp(z)-1 rather than expm1: Mosaic has no TC lowering for expm1.
+    # Differs from jax.nn.elu by <= fp32 rounding for z -> 0- (the jnp
+    # reference path keeps expm1; transplant parity tolerance is 1e-3).
+    return jnp.where(z > 0, z, jnp.exp(z) - 1.0)
 
 
 def _delu(z):

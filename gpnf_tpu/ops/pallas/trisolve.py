@@ -214,11 +214,16 @@ def tril_solve(l: jax.Array, b: jax.Array, *, trans: bool = False,
             [b2, jnp.zeros((b2.shape[0], pad_p), b2.dtype)], axis=1)
 
     if use_pallas is None:
-        # the fused kernel holds L and B in VMEM: auto only while they fit
-        # (~12 MB); above that the blocked-XLA path (MXU matmuls + Newton
-        # block inverses, never the native scalar-loop solve) takes over
+        # the fused kernel holds L and B in VMEM plus ~4 B-sized block
+        # temporaries (solution blocks, acc, Newton scratch): auto only
+        # while the MODELED scoped footprint fits. A wide RHS (the
+        # Cholesky-VJP full-matrix solves, n x n) measured 26.8 M scoped at
+        # n=1024 against the 16 M stack — the old L+2B model said 12 M
+        # (round-5 flow->GP joint-grad compile failure). Above the fit, the
+        # blocked-XLA path (MXU matmuls + Newton block inverses, never the
+        # native scalar-loop solve) takes over.
         n_p = l.shape[-1]
-        fits = (n_p * n_p + 2 * n_p * b2.shape[1]) * 4 <= 12 * 2**20
+        fits = (n_p * n_p + 5 * n_p * b2.shape[1]) * 4 <= 12 * 2**20
         use_pallas = jax.default_backend() == "tpu" and fits
     kind = "pallas" if use_pallas else "xla"
     x = _solve_core(l, b2, trans, kind)

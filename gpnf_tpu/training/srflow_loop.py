@@ -251,8 +251,25 @@ def train_srflow(model_cfg: SRFlowConfig, train_cfg: SRTrainConfig, train_set,
             f"{train_cfg.batch_size}: batches() with drop_last yields "
             "nothing and the loop would spin forever")
     total = max_steps or train_cfg.niter
+
+    class _Epoch:
+        """Re-iterable adapter so PrefetchLoader can restart each epoch."""
+
+        def __iter__(self):
+            return train_set.batches(train_cfg.batch_size)
+
+        def __len__(self):
+            return len(train_set) // train_cfg.batch_size
+
+    from ..data.datasets import PrefetchLoader
+    loader = PrefetchLoader(_Epoch(), depth=2, to_device=True)
+    import time as _time
+    td = 0.0  # host data-wait per log window (reference `td:` field,
+    #           utils/timer.py:54-78 TickTock)
     while it < total:
-        for lr_img, hr_img in train_set.batches(train_cfg.batch_size):
+        t_mark = _time.time()
+        for lr_img, hr_img in loader:
+            td += _time.time() - t_mark
             rng, sub = jax.random.split(rng)
             params, opt_state, loss = step_fn(params, opt_state,
                                               jnp.asarray(lr_img),
@@ -260,7 +277,9 @@ def train_srflow(model_cfg: SRFlowConfig, train_cfg: SRTrainConfig, train_set,
                                               jnp.asarray(it))
             it += 1
             if it % 100 == 0:
-                log_fn(f"iter {it} nll {float(loss):.4f}")
+                log_fn(f"iter {it} nll {float(loss):.4f} "
+                       f"td {td * 10:.1f}ms")  # avg ms/step over the window
+                td = 0.0
                 if getattr(train_set, "measures", None):
                     train_set.print_and_reset("train_data", log_fn=log_fn)
             if val_set is not None and it % val_freq == 0:
@@ -271,5 +290,6 @@ def train_srflow(model_cfg: SRFlowConfig, train_cfg: SRTrainConfig, train_set,
                           metric=-max(v for v in psnrs.values()))
             if it >= total:
                 break
+            t_mark = _time.time()
     ckpt.save(it, {"params": params, "opt_state": opt_state})
     return model, params

@@ -30,8 +30,16 @@ def main():
     # (RRDB + coupling hiddens on the MXU in bf16) and named-save remat
     dtype = os.environ.get("BENCH_DTYPE", "float32")
     save_names = os.environ.get("BENCH_SAVE_NAMES", "")
-    extra = dict(compute_dtype=dtype, remat_save_names=save_names)
+    # r5 program-shape levers (VERDICT r4 item 4): remat_mode="noattn"
+    # (sub-step coupling checkpoint, no scan-body barrier) x scan_unroll=0
+    # (full K-unroll) — the pairing that won +10% on the flagship
+    remat_mode = os.environ.get("BENCH_REMAT_MODE", "body")
+    scan_unroll = int(os.environ.get("BENCH_SCAN_UNROLL", 1))
+    extra = dict(compute_dtype=dtype, remat_save_names=save_names,
+                 remat_mode=remat_mode, scan_unroll=scan_unroll)
     dtag = "_bf16" if dtype == "bfloat16" else ""
+    if remat_mode != "body" or scan_unroll != 1:
+        dtag += f"_{remat_mode}_u{scan_unroll}"
     if full:
         cfg = SRFlowConfig(scale=4, hr_size=160, K=16, L=3, rrdb_nb=23,
                            **extra)
