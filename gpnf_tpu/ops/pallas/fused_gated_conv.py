@@ -33,10 +33,12 @@ MAX_S = 512  # spatial sites per image above which the jnp path is used
 
 
 def _elu(z):
-    # exp(z)-1 rather than expm1: Mosaic has no TC lowering for expm1.
-    # Differs from jax.nn.elu by <= fp32 rounding for z -> 0- (the jnp
-    # reference path keeps expm1; transplant parity tolerance is 1e-3).
-    return jnp.where(z > 0, z, jnp.exp(z) - 1.0)
+    # fp32 internals: Mosaic TC has no expm1 lowering and rejects cmpf on
+    # packed bf16 vectors ("Target does not support this comparison"), so
+    # compare/exp in fp32 and cast back. Differs from jax.nn.elu by <= fp32
+    # rounding for z -> 0- (transplant parity tolerance is 1e-3).
+    z32 = z.astype(jnp.float32)
+    return jnp.where(z32 > 0, z32, jnp.exp(z32) - 1.0).astype(z.dtype)
 
 
 def _delu(z):
@@ -199,13 +201,18 @@ def _bwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, wg_ref, bg_ref, g_ref,
     dbg_ref[...] = dbg_ref[...] + dbg
 
 
-def _batch_block(b, s, c, dtype):
+def _batch_block(b, s, c, dtype, bwd=False):
     """Batch rows per program: several (MB, S, 2C) bf16/fp32 buffers live
     (h1/h2/dg/dh2 + fp32 accumulators) against the 16 MB scoped-vmem stack;
-    budget one buffer at ~1.5 MB."""
+    budget one buffer at ~1.5 MB. The backward keeps ~4x as many buffers
+    live (recomputed forward chain + dg/dh2/dh1 fp32 + per-tap dw partials:
+    measured 29.55 M scoped at MB=16, S=256 -> ~1.85 M/row), so it runs at
+    a quarter of the forward's block."""
     budget = int(1.5 * 1024 * 1024)
     if jnp.dtype(dtype).itemsize >= 4:
         budget //= 2
+    if bwd:
+        budget //= 4
     mb = max(1, min(32, budget // max(s * 2 * c * 2, 1)))
     while b % mb:
         mb -= 1
@@ -217,7 +224,7 @@ def _run(kernel, seed, x, w1, b1, wg, bg, g, rate):
     from jax.experimental.pallas import tpu as pltpu
 
     b, hh, ww, c = x.shape
-    mb = _batch_block(b, hh * ww, c, x.dtype)
+    mb = _batch_block(b, hh * ww, c, x.dtype, bwd=g is not None)
     seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     xblk = pl.BlockSpec((mb, hh, ww, c), lambda i: (i, 0, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -256,10 +263,13 @@ def _reference(seed, x, w1, b1, wg, bg, rate, train):
     h1 = _concat_elu(x)
     # SAME 3x3 conv via lax for the reference path
     w_oihw = jnp.transpose(w1, (3, 2, 0, 1))  # (C, 2C, 3, 3)
+    # explicit fp32 preferred type breaks the conv transpose rule under AD
+    # for bf16 operands (ops/conv.py:conv2d has the same guard)
+    preferred = jnp.float32 if dt == jnp.float32 else None
     h = jax.lax.conv_general_dilated(
         h1.astype(dt), w_oihw.astype(dt), (1, 1), "SAME",
         dimension_numbers=("NHWC", "OIHW", "NHWC"),
-        preferred_element_type=jnp.float32).astype(dt) + b1
+        preferred_element_type=preferred).astype(dt) + b1
     h2 = _concat_elu(h)
     if rate > 0.0 and train:
         key = jax.random.fold_in(jax.random.PRNGKey(0), seed[0])
