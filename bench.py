@@ -47,10 +47,15 @@ def _model_flops_per_sample(cfg):
     import jax.numpy as jnp
 
     # normalize every knob that doesn't change model FLOPs (remat/unroll/
-    # kernel-fusion/precision) so the cache key is stable across A/Bs
-    cfg2 = replace(cfg, remat=False, scan_unroll=1, compute_dtype="float32",
+    # kernel-fusion/precision) so the cache key is stable across A/Bs.
+    # scan_steps=False + fully-unrolled prior: XLA's cost analysis
+    # UNDERCOUNTS rolled loop bodies (measured 9.79e9 vs 1.61e10 flops/
+    # sample flipping only the prior scan's rolling), so the counting
+    # graph must contain no loops at all.
+    cfg2 = replace(cfg, remat=False, scan_steps=False,
+                   compute_dtype="float32",
                    fused_gated_conv=False, precompute_wn=False,
-                   scan_split_transpose=False, prior_scan_unroll=1)
+                   scan_split_transpose=False, prior_scan_unroll=0)
     key = hashlib.sha1(_json.dumps(asdict(cfg2), sort_keys=True,
                                    default=str).encode()).hexdigest()[:16]
     cache_path = os.environ.get("BENCH_MODEL_FLOPS_CACHE",

@@ -147,7 +147,10 @@ def _bwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, wg_ref, bg_ref, g_ref,
     mb, hh, ww, c = x.shape
     n = mb * hh * ww
 
-    # GLU: out = a*sig(b) + x
+    # GLU: out = a*sig(b) + x. Gradient-chain temporaries live in the INPUT
+    # dtype (bf16 in production): fp32 temps measured 1.85 M scoped/row and
+    # forced MB=4 (64 programs x full weight reloads); sums/accumulations
+    # stay fp32.
     da = gout * sig
     db = gout * a.astype(jnp.float32) * sig * (1.0 - sig)
     dg = jnp.concatenate([da, db], axis=-1).astype(dt)  # (MB,H,W,2C)
@@ -157,17 +160,20 @@ def _bwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, wg_ref, bg_ref, g_ref,
     dwg = jax.lax.dot_general(h2d, dg2d, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     dbg = jnp.sum(dg2d.astype(jnp.float32), axis=0)
+    # fp32 acc (Mosaic requires 32-bit matmul acc), cast in the epilogue
     dh2 = jax.lax.dot_general(dg2d, wg, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32).astype(dt)
     dh2 = dh2.reshape(mb, hh, ww, 2 * c)
     if keep is not None:
         dh2 = jnp.where(keep, dh2 / (1.0 - rate), jnp.zeros_like(dh2))
     # concat-ELU around h
     hf = h.astype(jnp.float32)
-    dh = dh2[..., :c] * _delu(hf) - dh2[..., c:] * _delu(-hf)
+    dh = (dh2[..., :c].astype(jnp.float32) * _delu(hf)
+          - dh2[..., c:].astype(jnp.float32) * _delu(-hf))
     db1 = jnp.sum(dh.reshape(n, c), axis=0)
     # 3x3 conv: h = taps(h1) @ w1
     dh_c = dh.astype(dt)
+    del dh
     h1d = h1.astype(dt)
     dw1_rows = []
     for ky in range(3):
@@ -208,12 +214,19 @@ def _batch_block(b, s, c, dtype, bwd=False):
     live (recomputed forward chain + dg/dh2/dh1 fp32 + per-tap dw partials:
     measured 29.55 M scoped at MB=16, S=256 -> ~1.85 M/row), so it runs at
     a quarter of the forward's block."""
-    budget = int(1.5 * 1024 * 1024)
-    if jnp.dtype(dtype).itemsize >= 4:
-        budget //= 2
     if bwd:
-        budget //= 4
-    mb = max(1, min(32, budget // max(s * 2 * c * 2, 1)))
+        # measured table, not a formula: small-S shift buffers pad their
+        # sublane tiles ~2x, so the linear model under-counts (S=64 at
+        # MB=32 measured 17.68 M scoped vs the 16 M stack; S=256 at MB=16
+        # measured 29.55 M with fp32 temps, passes at MB=8 with bf16 ones)
+        mb = 32 if s <= 16 else (16 if s <= 64 else 8)
+        if jnp.dtype(dtype).itemsize >= 4:
+            mb = max(1, mb // 2)
+    else:
+        budget = int(1.5 * 1024 * 1024)
+        if jnp.dtype(dtype).itemsize >= 4:
+            budget //= 2
+        mb = max(1, min(32, budget // max(s * 2 * c * 2, 1)))
     while b % mb:
         mb -= 1
     return mb

@@ -99,9 +99,14 @@ def train(model_cfg: MarScfConfig, train_cfg: TrainConfig, *, log_fn=print):
     # step (one thread; prep releases the GIL in numpy/C++/device_put).
     # Under a mesh the batch must be SHARDED, so placement stays with
     # shard_batch in the loop and the worker only prepares host batches.
-    from ..data.datasets import PrefetchLoader
-    train_loader = PrefetchLoader(train_loader, depth=2,
-                                  to_device=mesh is None)
+    # GPNF_PREFETCH=0 disables the overlap for A/B measurement (the r4
+    # verdict flagged the default as shipped-unmeasured; see
+    # docs/BENCHMARKS.md "PrefetchLoader A/B")
+    import os as _os
+    if _os.environ.get("GPNF_PREFETCH", "1") == "1":
+        from ..data.datasets import PrefetchLoader
+        train_loader = PrefetchLoader(train_loader, depth=2,
+                                      to_device=mesh is None)
 
     # Adamax + linear warmup counted in samples (marscf_main.py:302-303,346)
     # with torch-EXACT semantics: reference_adamax replicates torch's
