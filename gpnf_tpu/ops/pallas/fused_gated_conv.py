@@ -91,43 +91,55 @@ def _conv3x3_taps_T(dh, w1, in_ch2):
     return acc.reshape(mb, hh, ww, in_ch2)
 
 
-def _drop_keep_channels(seed_ref, mb, c2, rate):
-    """Dropout2d keep mask (MB, 1, 1, 2C) from the in-kernel PRNG."""
+def _drop_scale_rows(seed_ref, mb, s, c2, rate):
+    """Dropout2d scale expanded to (MB*S, 2C): one (MB, 2C) channel mask
+    per batch row from the in-kernel PRNG, spread over the spatial sites
+    with an indicator matmul — Mosaic has no sublane broadcast, so
+    keep[:, None, None, :] fails to lower at some shapes; E @ scale is a
+    tiny always-supported MXU op. Entries are 0 or 1/(1-rate)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     bits = pltpu.bitcast(pltpu.prng_random_bits((mb, c2)), jnp.uint32)
     threshold = jnp.uint32(min(int(rate * (1 << 32)), (1 << 32) - 1))
-    return (bits >= threshold)[:, None, None, :]
+    scale = (bits >= threshold).astype(jnp.float32) / (1.0 - rate)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (mb * s, mb), 0) // s
+    cols = jax.lax.broadcasted_iota(jnp.int32, (mb * s, mb), 1)
+    e = (rows == cols).astype(jnp.float32)
+    return jax.lax.dot_general(e, scale, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
 
 
-def _forward_math(x, w1, b1, wg, bg, keep, rate):
-    """The full block in VMEM values; shared by fwd and bwd kernels."""
+def _forward_math(x, w1, b1, wg, bg, drop):
+    """The full block in VMEM values; shared by fwd and bwd kernels.
+    drop: (MB*S, 2C) 0-or-1/(1-rate) Dropout2d scale, or None. Returns
+    h2d ALREADY dropped (it is the gate matmul's true operand)."""
     dt = x.dtype
     h1 = _concat_elu(x)
     h = _conv3x3_taps(h1.astype(dt), w1, w1.shape[-1]).astype(dt) + b1
     h2 = _concat_elu(h)
-    if keep is not None:
-        h2 = jnp.where(keep, h2 / (1.0 - rate), jnp.zeros_like(h2))
     mb, hh, ww, c2 = h2.shape
-    g = jax.lax.dot_general(h2.reshape(mb * hh * ww, c2), wg,
-                            (((1,), (0,)), ((), ())),
+    h2d = h2.reshape(mb * hh * ww, c2)
+    if drop is not None:
+        h2d = (h2d.astype(jnp.float32) * drop).astype(dt)
+    g = jax.lax.dot_general(h2d, wg, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     g = g.reshape(mb, hh, ww, c2).astype(dt) + bg
     a, b = jnp.split(g, 2, axis=-1)
     sig = jax.nn.sigmoid(b.astype(jnp.float32))
     out = a.astype(jnp.float32) * sig + x.astype(jnp.float32)
-    return h1, h, h2, a, b, sig, out
+    return h1, h, h2d, a, b, sig, out
 
 
 def _fwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, wg_ref, bg_ref, o_ref, *,
                 rate):
     x = x_ref[...]
-    keep = (_drop_keep_channels(seed_ref, x.shape[0], 2 * x.shape[-1], rate)
+    mb, hh, ww, c = x.shape
+    drop = (_drop_scale_rows(seed_ref, mb, hh * ww, 2 * c, rate)
             if rate > 0.0 else None)
     *_, out = _forward_math(x, w1_ref[...], b1_ref[...], wg_ref[...],
-                            bg_ref[...], keep, rate)
+                            bg_ref[...], drop)
     o_ref[...] = out.astype(o_ref.dtype)
 
 
@@ -139,13 +151,13 @@ def _bwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, wg_ref, bg_ref, g_ref,
     w1 = w1_ref[...]
     wg = wg_ref[...]
     dt = x.dtype
-    keep = (_drop_keep_channels(seed_ref, x.shape[0], 2 * x.shape[-1], rate)
-            if rate > 0.0 else None)
-    h1, h, h2, a, b, sig, _ = _forward_math(x, w1, b1_ref[...], wg,
-                                            bg_ref[...], keep, rate)
-    gout = g_ref[...].astype(jnp.float32)
     mb, hh, ww, c = x.shape
     n = mb * hh * ww
+    drop = (_drop_scale_rows(seed_ref, mb, hh * ww, 2 * c, rate)
+            if rate > 0.0 else None)
+    h1, h, h2d, a, b, sig, _ = _forward_math(x, w1, b1_ref[...], wg,
+                                             bg_ref[...], drop)
+    gout = g_ref[...].astype(jnp.float32)
 
     # GLU: out = a*sig(b) + x. Gradient-chain temporaries live in the INPUT
     # dtype (bf16 in production): fp32 temps measured 1.85 M scoped/row and
@@ -155,17 +167,16 @@ def _bwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, wg_ref, bg_ref, g_ref,
     db = gout * a.astype(jnp.float32) * sig * (1.0 - sig)
     dg = jnp.concatenate([da, db], axis=-1).astype(dt)  # (MB,H,W,2C)
     dg2d = dg.reshape(n, 2 * c)
-    # gate matmul: g = h2 @ wg + bg
-    h2d = h2.reshape(n, 2 * c).astype(dt)
+    # gate matmul: g = h2d @ wg + bg  (h2d is post-dropout)
     dwg = jax.lax.dot_general(h2d, dg2d, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     dbg = jnp.sum(dg2d.astype(jnp.float32), axis=0)
     # fp32 acc (Mosaic requires 32-bit matmul acc), cast in the epilogue
-    dh2 = jax.lax.dot_general(dg2d, wg, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32).astype(dt)
-    dh2 = dh2.reshape(mb, hh, ww, 2 * c)
-    if keep is not None:
-        dh2 = jnp.where(keep, dh2 / (1.0 - rate), jnp.zeros_like(dh2))
+    dh2d = jax.lax.dot_general(dg2d, wg, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    if drop is not None:
+        dh2d = dh2d * drop
+    dh2 = dh2d.astype(dt).reshape(mb, hh, ww, 2 * c)
     # concat-ELU around h
     hf = h.astype(jnp.float32)
     dh = (dh2[..., :c].astype(jnp.float32) * _delu(hf)

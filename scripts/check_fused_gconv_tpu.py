@@ -75,6 +75,26 @@ def main():
                   f"{'PASS' if good else 'FAIL'}")
             ok &= good
 
+        # rate > 0 kernels must COMPILE and produce finite values at every
+        # shape (the r5 "Sublane broadcast" failure only appeared at the
+        # bench's rate=0.2 compile, which the rate=0 checks missed)
+        sd = jnp.asarray([7], jnp.int32)
+
+        @jax.jit
+        def run_drop_fwd(x):
+            return fg._run(fg._fwd_kernel, sd, x, w1, b1, wg, bg, None, 0.2)
+
+        @jax.jit
+        def run_drop_bwd(x, g):
+            return fg._run(fg._bwd_kernel, sd, x, w1, b1, wg, bg, g, 0.2)
+
+        fin = np.all(np.isfinite(np.asarray(run_drop_fwd(x), np.float32)))
+        fin &= all(np.all(np.isfinite(np.asarray(t, np.float32)))
+                   for t in run_drop_bwd(x, g))
+        print(f"    rate=0.2 fwd+bwd compile+finite "
+              f"{'PASS' if fin else 'FAIL'}")
+        ok &= bool(fin)
+
     # dropout determinism on-device
     b, h, w, c = 16, 8, 8, 96
     x = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.bfloat16)
