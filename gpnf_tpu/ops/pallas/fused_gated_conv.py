@@ -91,7 +91,7 @@ def _conv3x3_taps_T(dh, w1, in_ch2):
     return acc.reshape(mb, hh, ww, in_ch2)
 
 
-def _drop_scale_rows(seed_ref, mb, s, c2, rate):
+def _drop_scale_rows(seed_ref, mb, s, c2, rate, dtype):
     """Dropout2d scale expanded to (MB*S, 2C): one (MB, 2C) channel mask
     per batch row from the in-kernel PRNG, spread over the spatial sites
     with an indicator matmul — Mosaic has no sublane broadcast, so
@@ -107,8 +107,12 @@ def _drop_scale_rows(seed_ref, mb, s, c2, rate):
     rows = jax.lax.broadcasted_iota(jnp.int32, (mb * s, mb), 0) // s
     cols = jax.lax.broadcasted_iota(jnp.int32, (mb * s, mb), 1)
     e = (rows == cols).astype(jnp.float32)
-    return jax.lax.dot_general(e, scale, (((1,), (0,)), ((), ())),
+    full = jax.lax.dot_general(e, scale, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
+    # input-dtype mask: the unfused path divides in x.dtype too, and the
+    # fp32 copy pushed the fwd kernel over the scoped stack (17.58 M at
+    # MB=16, S=256)
+    return full.astype(dtype)
 
 
 def _forward_math(x, w1, b1, wg, bg, drop):
@@ -122,7 +126,7 @@ def _forward_math(x, w1, b1, wg, bg, drop):
     mb, hh, ww, c2 = h2.shape
     h2d = h2.reshape(mb * hh * ww, c2)
     if drop is not None:
-        h2d = (h2d.astype(jnp.float32) * drop).astype(dt)
+        h2d = h2d * drop
     g = jax.lax.dot_general(h2d, wg, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     g = g.reshape(mb, hh, ww, c2).astype(dt) + bg
@@ -136,7 +140,7 @@ def _fwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, wg_ref, bg_ref, o_ref, *,
                 rate):
     x = x_ref[...]
     mb, hh, ww, c = x.shape
-    drop = (_drop_scale_rows(seed_ref, mb, hh * ww, 2 * c, rate)
+    drop = (_drop_scale_rows(seed_ref, mb, hh * ww, 2 * c, rate, x.dtype)
             if rate > 0.0 else None)
     *_, out = _forward_math(x, w1_ref[...], b1_ref[...], wg_ref[...],
                             bg_ref[...], drop)
@@ -153,7 +157,7 @@ def _bwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, wg_ref, bg_ref, g_ref,
     dt = x.dtype
     mb, hh, ww, c = x.shape
     n = mb * hh * ww
-    drop = (_drop_scale_rows(seed_ref, mb, hh * ww, 2 * c, rate)
+    drop = (_drop_scale_rows(seed_ref, mb, hh * ww, 2 * c, rate, dt)
             if rate > 0.0 else None)
     h1, h, h2d, a, b, sig, _ = _forward_math(x, w1, b1_ref[...], wg,
                                              bg_ref[...], drop)
@@ -218,19 +222,21 @@ def _bwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, wg_ref, bg_ref, g_ref,
     dbg_ref[...] = dbg_ref[...] + dbg
 
 
-def _batch_block(b, s, c, dtype, bwd=False):
-    """Batch rows per program: several (MB, S, 2C) bf16/fp32 buffers live
-    (h1/h2/dg/dh2 + fp32 accumulators) against the 16 MB scoped-vmem stack;
-    budget one buffer at ~1.5 MB. The backward keeps ~4x as many buffers
-    live (recomputed forward chain + dg/dh2/dh1 fp32 + per-tap dw partials:
-    measured 29.55 M scoped at MB=16, S=256 -> ~1.85 M/row), so it runs at
-    a quarter of the forward's block."""
+def _batch_block(b, s, c, dtype, bwd=False, rate=0.0):
+    """Batch rows per program against the 16 MB scoped-vmem stack.
+
+    Measured tables, not formulas — small-S shift buffers pad their
+    sublane tiles ~2x and the dropout expansion adds (MB*S, 2C) buffers,
+    so linear models under-count (S=64 bwd at MB=32: 17.68 M; S=256 bwd
+    at MB=16 with fp32 temps: 29.55 M; S=256 fwd at MB=16 with dropout:
+    18.12 M)."""
     if bwd:
-        # measured table, not a formula: small-S shift buffers pad their
-        # sublane tiles ~2x, so the linear model under-counts (S=64 at
-        # MB=32 measured 17.68 M scoped vs the 16 M stack; S=256 at MB=16
-        # measured 29.55 M with fp32 temps, passes at MB=8 with bf16 ones)
-        mb = 32 if s <= 16 else (16 if s <= 64 else 8)
+        # dropout adds (MB*S, 2C) mask buffers: 16.62 M at MB=8/S=256
+        mb = 32 if s <= 16 else (16 if s <= 64 else (8 if rate == 0.0 else 4))
+        if jnp.dtype(dtype).itemsize >= 4:
+            mb = max(1, mb // 2)
+    elif rate > 0.0:
+        mb = 32 if s <= 64 else 8
         if jnp.dtype(dtype).itemsize >= 4:
             mb = max(1, mb // 2)
     else:
@@ -248,7 +254,7 @@ def _run(kernel, seed, x, w1, b1, wg, bg, g, rate):
     from jax.experimental.pallas import tpu as pltpu
 
     b, hh, ww, c = x.shape
-    mb = _batch_block(b, hh * ww, c, x.dtype, bwd=g is not None)
+    mb = _batch_block(b, hh * ww, c, x.dtype, bwd=g is not None, rate=rate)
     seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     xblk = pl.BlockSpec((mb, hh, ww, c), lambda i: (i, 0, 0, 0),
                         memory_space=pltpu.VMEM)
