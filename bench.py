@@ -58,8 +58,10 @@ def _model_flops_per_sample(cfg):
                    scan_split_transpose=False, prior_scan_unroll=0)
     key = hashlib.sha1(_json.dumps(asdict(cfg2), sort_keys=True,
                                    default=str).encode()).hexdigest()[:16]
-    cache_path = os.environ.get("BENCH_MODEL_FLOPS_CACHE",
-                                "/tmp/gpnf_model_flops.json")
+    cache_path = os.environ.get(
+        "BENCH_MODEL_FLOPS_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".model_flops_cache.json"))
     cache = {}
     if os.path.exists(cache_path):
         try:
