@@ -154,14 +154,22 @@ class GatedAttn:
         # touch HBM, and the (B, S, 3C) projection is recomputed in backward
         # rather than saved (the largest no-remat activation class,
         # scripts/profile_train.py); jnp path elsewhere.
-        from .pallas.fused_attention import fused_attention_proj
+        from .pallas.fused_attention import (MAX_S, fused_attention_long,
+                                             fused_attention_proj)
 
         w_in = self.in_proj.effective_weight(params["in_proj"])  # (3C, C)
         rate = self.drop_prob if (train and rng is not None) else 0.0
         seed = (jax.random.randint(rng, (1,), 0, 2**30, jnp.int32)
                 if rng is not None else jnp.zeros((1,), jnp.int32))
-        attn = fused_attention_proj(seed, seq, w_in, self.num_heads, rate,
-                                    train).astype(x.dtype)
+        # S <= 512: batch-blocked kernel with the projection in-kernel.
+        # S > 512 (64px level 0 is S=1024): per-(batch, head) long-S
+        # kernel — the old jnp fallback materialized (B, H, S, S) scores
+        # in HBM and was the dominant 64px cost (docs/BENCHMARKS.md
+        # "ImageNet-64", r5).
+        fused = (fused_attention_proj if seq.shape[1] <= MAX_S
+                 else fused_attention_long)
+        attn = fused(seed, seq, w_in, self.num_heads, rate,
+                     train).astype(x.dtype)
         # "attn_out" is ON the default remat save policy: spending B*S*C
         # bf16 of HBM per block to skip the attention-forward recompute in
         # backward measured +7.6% on TPU v5e (748 -> 805 img/s,

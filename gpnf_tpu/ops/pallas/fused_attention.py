@@ -515,6 +515,178 @@ def _proj(seq, w):
     return y.astype(seq.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Long-sequence variant: grid over (batch x head), one (S, S) fp32 score
+# buffer per program. At 64px the level-0 sequence is S=1024: the batch-
+# blocked kernels' (MB, S, S) stacks blow the 16 MB scoped stack, and the
+# jnp fallback materializes (B, H, S, S) score/mask tensors in HBM — the
+# r5 i64 anatomy (mfu_hw 2.7%, docs/BENCHMARKS.md "ImageNet-64"). Here a
+# program holds one head's q/k/v (S, Dh) slices + one 4 MB score buffer;
+# the dropout mask is REGENERATED from the same per-program seed wherever
+# it is needed (never stored: an (S, S) uint32 buffer is another 4 MB).
+# The projection runs outside the kernel (a well-shaped XLA matmul).
+# ---------------------------------------------------------------------------
+
+MAX_S_LONG = 2048  # 4 MB fp32 scores; above this an S-tiled kernel is needed
+
+
+def _fwd_kernel_bh(seed_ref, q_ref, k_ref, v_ref, o_ref, *, rate):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    q = q_ref[0, 0]  # (S, Dh)
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    p = _softmax_last(s)
+    if rate > 0.0:
+        # distinct stream per (batch, head) program on the 2-D grid
+        pid = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+        pltpu.prng_seed(seed_ref[0] + pid)
+        keep = _dropout_keep(p.shape, rate)
+        p = jnp.where(keep, p / (1.0 - rate), 0.0)
+    o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel_bh(seed_ref, q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref,
+                   dv_ref, *, rate):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    g = g_ref[0, 0]  # bf16 matmul operand
+    in_dt = q.dtype
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    p = _softmax_last(s)  # fp32 (S, S); `s` is dead after this
+    pid = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    if rate > 0.0:
+        # regenerate (not store) the keep mask at each use: the SAME seed
+        # reproduces the SAME bits
+        pltpu.prng_seed(seed_ref[0] + pid)
+        keep = _dropout_keep(p.shape, rate)
+        pd = jnp.where(keep, p / (1.0 - rate), 0.0).astype(in_dt)
+    else:
+        pd = p.astype(in_dt)
+    # dV = Pd^T g
+    dv = jax.lax.dot_general(pd, g, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+    # dPd = g V^T ; dP = mask * dPd / (1-r) ; dS = P (dP - rowsum(dP P))
+    dpd = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    if rate > 0.0:
+        pltpu.prng_seed(seed_ref[0] + pid)
+        keep = _dropout_keep(p.shape, rate)
+        dp = jnp.where(keep, dpd / (1.0 - rate), 0.0)
+    else:
+        dp = dpd
+    ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))).astype(in_dt)
+    dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+
+
+def _run_bh(kernel, seed, q, k, v, g, rate):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, s, dh = q.shape
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    blk = pl.BlockSpec((1, 1, s, dh), lambda i, j: (i, j, 0, 0),
+                       memory_space=pltpu.VMEM)
+    if g is None:
+        return pl.pallas_call(
+            functools.partial(kernel, rate=rate),
+            grid=(b, h), in_specs=[seed_spec, blk, blk, blk], out_specs=blk,
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        )(seed, q, k, v)
+    return pl.pallas_call(
+        functools.partial(kernel, rate=rate),
+        grid=(b, h), in_specs=[seed_spec, blk, blk, blk, blk],
+        out_specs=[blk, blk, blk],
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3,
+    )(seed, q, k, v, g)
+
+
+def _split_heads(qkv, heads):
+    b, s, c3 = qkv.shape
+    c = c3 // 3
+    dh = c // heads
+    hsplit = lambda t: t.reshape(b, s, heads, dh).transpose(0, 2, 1, 3)
+    k = hsplit(qkv[..., :c])
+    v = hsplit(qkv[..., c:2 * c])
+    q = hsplit(qkv[..., 2 * c:]) * (dh ** -0.5)
+    return q, k, v
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_attention_long(seed, seq, w, num_heads: int, rate: float = 0.0,
+                         train: bool = False):
+    """Multi-head attention for MAX_S < S <= MAX_S_LONG: projection as an
+    XLA matmul, per-(batch, head) Pallas programs for scores/softmax/
+    dropout/PV; the (S, S) weights and masks never exist in HBM. Same
+    [k|v|q] packed w layout as fused_attention_proj."""
+    eff_rate = rate if train else 0.0
+    if jax.default_backend() == "tpu" and seq.shape[1] <= MAX_S_LONG:
+        q, k, v = _split_heads(_proj(seq, w), num_heads)
+        o = _run_bh(_fwd_kernel_bh, seed, q, k, v, None, eff_rate)
+        b, h, s, dh = o.shape
+        return o.transpose(0, 2, 1, 3).reshape(b, s, h * dh)
+    return _reference_qkv(seed, _proj(seq, w), num_heads, eff_rate, True)
+
+
+def _vjp_fwd_long(seed, seq, w, num_heads, rate, train):
+    return fused_attention_long(seed, seq, w, num_heads, rate, train), \
+        (seed, seq, w)
+
+
+def _vjp_bwd_long(num_heads, rate, train, res, g):
+    import numpy as np
+
+    seed, seq, w = res
+    eff_rate = rate if train else 0.0
+    if jax.default_backend() == "tpu" and seq.shape[1] <= MAX_S_LONG:
+        qkv = _proj(seq, w)
+        q, k, v = _split_heads(qkv, num_heads)
+        b, s, c = seq.shape
+        dh = c // num_heads
+        g4 = g.astype(seq.dtype).reshape(b, s, num_heads, dh).transpose(0, 2, 1, 3)
+        dq, dk, dv = _run_bh(_bwd_kernel_bh, seed, q, k, v, g4, eff_rate)
+        merge = lambda t: t.transpose(0, 2, 1, 3).reshape(b, s, c)
+        # packed [k|v|q] cotangent; q carried the Dh^-1/2 scale
+        dqkv = jnp.concatenate(
+            [merge(dk), merge(dv), merge(dq) * (dh ** -0.5)], axis=-1)
+        dqkv32 = dqkv.astype(jnp.float32)
+        dseq = jnp.einsum("bso,oc->bsc", dqkv32, w.astype(jnp.float32),
+                          preferred_element_type=jnp.float32).astype(seq.dtype)
+        dw = jnp.einsum("bso,bsc->oc", dqkv32, seq.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+    else:
+        qkv = _proj(seq, w)
+        _, vjp = jax.vjp(lambda t: _reference_qkv(seed, t, num_heads,
+                                                  eff_rate, True), qkv)
+        (dqkv,) = vjp(g)
+        dqkv32 = dqkv.astype(jnp.float32)
+        dseq = jnp.einsum("bso,oc->bsc", dqkv32, w.astype(jnp.float32),
+                          preferred_element_type=jnp.float32).astype(seq.dtype)
+        dw = jnp.einsum("bso,bsc->oc", dqkv32, seq.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+    seed_ct = np.zeros(seed.shape, jax.dtypes.float0)
+    return seed_ct, dseq, dw.astype(w.dtype)
+
+
+fused_attention_long.defvjp(_vjp_fwd_long, _vjp_bwd_long)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_attention_proj(seed, seq, w, num_heads: int, rate: float = 0.0,
                          train: bool = False):

@@ -271,3 +271,59 @@ def test_fused_attention_proj_bwd_kernel_interpret():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(dw), np.asarray(want_dw),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fused_attention_long_cpu_fallback_matches_proj():
+    """fused_attention_long (the S>512 per-(batch,head) kernel) must agree
+    with fused_attention_proj on CPU (both route to the jnp reference) and
+    differentiate; the GatedAttn dispatch at S>MAX_S uses it (64px)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpnf_tpu.ops.pallas import fused_attention as fa
+
+    rng = np.random.default_rng(0)
+    b, s, c, heads = 2, 64, 24, 4
+    seq = jnp.asarray(rng.standard_normal((b, s, c)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3 * c, c)).astype(np.float32) * 0.1)
+    seed = jnp.zeros((1,), jnp.int32)
+
+    out_long = fa.fused_attention_long(seed, seq, w, heads, 0.0, False)
+    out_proj = fa.fused_attention_proj(seed, seq, w, heads, 0.0, False)
+    np.testing.assert_allclose(np.asarray(out_long), np.asarray(out_proj),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(fn, seq, w):
+        return jnp.sum(jnp.sin(fn(seed, seq, w, heads, 0.0, False)))
+
+    gl = jax.grad(lambda a, b_: loss(fa.fused_attention_long, a, b_),
+                  argnums=(0, 1))(seq, w)
+    gp = jax.grad(lambda a, b_: loss(fa.fused_attention_proj, a, b_),
+                  argnums=(0, 1))(seq, w)
+    for a, b_ in zip(gl, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_split_heads_matches_reference_layout():
+    """_split_heads (the long-kernel head packing) must reproduce the
+    reference's [k|v|q] unpacking + q scaling exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpnf_tpu.ops.pallas import fused_attention as fa
+
+    rng = np.random.default_rng(1)
+    b, s, c, heads = 2, 16, 24, 4
+    dh = c // heads
+    qkv = jnp.asarray(rng.standard_normal((b, s, 3 * c)).astype(np.float32))
+    q, k, v = fa._split_heads(qkv, heads)
+    hsplit = lambda t: t.reshape(b, s, heads, dh).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(k),
+                               np.asarray(hsplit(qkv[..., :c])), rtol=0)
+    np.testing.assert_allclose(np.asarray(v),
+                               np.asarray(hsplit(qkv[..., c:2 * c])), rtol=0)
+    np.testing.assert_allclose(
+        np.asarray(q), np.asarray(hsplit(qkv[..., 2 * c:]) * dh ** -0.5),
+        rtol=1e-6)
