@@ -55,7 +55,12 @@ def _model_flops_per_sample(cfg):
     cfg2 = replace(cfg, remat=False, scan_steps=False,
                    compute_dtype="float32",
                    fused_gated_conv=False, precompute_wn=False,
-                   scan_split_transpose=False, prior_scan_unroll=0)
+                   scan_split_transpose=False, prior_scan_unroll=0,
+                   # irrelevant once remat=False/scan_steps=False, but they
+                   # appear in asdict(): pin to the defaults so every
+                   # remat/unroll A/B variant shares one cache entry
+                   scan_unroll=0, remat_mode="noattn", remat_levels=None,
+                   remat_save_names="remat_ckpt,wcast,attn_out")
     key = hashlib.sha1(_json.dumps(asdict(cfg2), sort_keys=True,
                                    default=str).encode()).hexdigest()[:16]
     cache_path = os.environ.get(
@@ -70,6 +75,29 @@ def _model_flops_per_sample(cfg):
         except Exception:
             cache = {}
     if key in cache:
+        return float(cache[key])
+
+    # The attention ops pick their Pallas path from the SESSION backend at
+    # trace time, so in a TPU session the counting graph contains
+    # pallas_call ops that CPU cost analysis rejects ("Only interpret mode
+    # is supported on CPU backend"). Recompute in a forced-CPU subprocess
+    # (GPNF_FORCE_CPU flips the backend before init); it writes the same
+    # cache file, which we then re-read.
+    import jax as _jax
+    if _jax.default_backend() != "cpu":
+        import subprocess
+        env = dict(os.environ, GPNF_FORCE_CPU="1",
+                   BENCH_MODEL_FLOPS_CFG=_json.dumps(
+                       asdict(cfg2), sort_keys=True, default=str),
+                   BENCH_MODEL_FLOPS_CACHE=cache_path)
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, timeout=1800)
+        if r.returncode != 0:
+            raise RuntimeError(
+                f"model-flops subprocess failed: {r.stderr[-500:]}")
+        with open(cache_path) as f:
+            cache = _json.load(f)
         return float(cache[key])
 
     from gpnf_tpu.models.marscf import MarScfFlow
@@ -289,5 +317,24 @@ def main():
           file=sys.stderr)
 
 
+def _model_flops_entry():
+    """Subprocess entry: GPNF_FORCE_CPU=1 session recomputes the model-FLOP
+    cache entry for the config JSON in BENCH_MODEL_FLOPS_CFG, then exits."""
+    import json as _json
+
+    from gpnf_tpu.utils.jax_setup import setup as jax_setup
+    jax_setup()  # honors GPNF_FORCE_CPU=1 → cpu backend before init
+
+    from gpnf_tpu.models.marscf import MarScfConfig
+    d = _json.loads(os.environ["BENCH_MODEL_FLOPS_CFG"])
+    for k, v in d.items():
+        if isinstance(v, list):
+            d[k] = tuple(v)
+    _model_flops_per_sample(MarScfConfig(**d))
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_MODEL_FLOPS_CFG"):
+        _model_flops_entry()
+    else:
+        main()
