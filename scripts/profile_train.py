@@ -100,7 +100,9 @@ def capture(steps: int, trace_dir: str):
     from gpnf_tpu.utils.jax_setup import init_on_cpu, to_default_device
 
     batch = int(os.environ.get("BENCH_BATCH", 256))
-    cfg = MarScfConfig(image_shape=(32, 32, 3), L=3, K=4, hidden_channels=96,
+    size = int(os.environ.get("BENCH_IMAGE", 32))  # 64 = ImageNet-64 row
+    cfg = MarScfConfig(image_shape=(size, size, 3), L=3, K=4,
+                       hidden_channels=96,
                        coupling="mixlogcdf", compute_dtype="bfloat16",
                        remat=os.environ.get("BENCH_REMAT", "1") == "1",
                        remat_mode=os.environ.get("BENCH_REMAT_MODE", "noattn"),
@@ -124,7 +126,8 @@ def capture(steps: int, trace_dir: str):
         opt = optax.flatten(opt)
     opt_state = to_default_device(init_on_cpu(opt.init, params))
     step = make_train_step(bits_per_dim_loss(model), opt, mesh=None, donate=True)
-    x = jax.random.uniform(jax.random.PRNGKey(1), (batch, 3, 32, 32)) - 0.5
+    x = jax.random.uniform(jax.random.PRNGKey(1),
+                           (batch, 3, size, size)) - 0.5
     x = jnp.floor((x + 0.5) * 256.0) / 256.0 - 0.5
     x = jax.device_put(x)
 
